@@ -1,0 +1,147 @@
+"""German OCR post-processing (SURVEY B7) — one rule table, three backends.
+
+Generalizes the reference's per-document "model output → clean text"
+step (``german_ocr/ollama_backend.py:137`` strips whitespace; the
+German-specific cleanup is the capability the north rule mandates:
+umlaut/ß normalization, de-hyphenation at line breaks, Fraktur
+confusion maps).
+
+The rules are defined ONCE and rendered to:
+  * a vectorized pandas kernel (``normalize_series``) — the pipeline's
+    mapInPandas hot path, pure ``Series.str.replace`` (no per-row Python);
+  * a Spark Column expression (``normalize_col``) — whole-stage-codegen
+    JVM path for SQL-expressible uses;
+  * a DuckDB SQL expression (``normalize_sql``) — the driver's oracle.
+
+Regex dialect is restricted to the intersection of Java regex, RE2
+(DuckDB) and Python ``re``: no lookaround, only capture groups, ``\\b``,
+character classes and inline ``(?i)``. Global, left-to-right,
+non-overlapping replacement has identical semantics in all three.
+All rules are pure, deterministic and locale-independent — the
+bitwise-reproducibility requirement of BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    pattern: str  # shared regex (Java ∩ RE2 ∩ Python)
+    repl: str  # replacement with {1}/{2} group placeholders
+    note: str = ""
+
+
+_CONS = "bcdfghjklmnprstvwxzBCDFGHJKLMNPRSTVWXZ"
+
+# Order matters; applied top to bottom.
+RULES: tuple[Rule, ...] = (
+    Rule(r"\r\n?", "\n", "normalize CR / CRLF line endings"),
+    # Fraktur long-s: 'ſs' ligature-ish sequence → ß, then bare ſ → s.
+    Rule(r"ſs", "ß", "long s + s → ß"),
+    Rule(r"ſ", "s", "long s → round s"),
+    # Fraktur f/s confusion: no German word contains 'fch'; OCR misreads
+    # 'sch' as 'fch'. Safe global fix.
+    Rule(r"fch", "sch", "f↔s confusion in 'sch'"),
+    Rule(r"Fch", "Sch", "f↔s confusion, capitalized"),
+    # u/n confusion: 'nnd' is not German; OCR misread of 'und'.
+    Rule(r"\bnnd\b", "und", "u↔n confusion in 'und'"),
+    Rule(r"\bNnd\b", "Und", "u↔n confusion, capitalized"),
+    # De-hyphenation at line breaks: 'Versiche-\nrung' → 'Versicherung'.
+    # Only joins when the continuation starts lowercase (keeps genuine
+    # compounds like 'Nord-\nWest' intact as 'Nord-West' via later \n fold).
+    Rule(r"([A-Za-zÄÖÜäöüß])-\n([a-zäöüß])", "{1}{2}", "de-hyphenate line break"),
+    # Transliterated umlauts → umlauts. Word-initial and post-consonant
+    # digraphs only: avoids 'neue', 'Quelle', 'aue' (vowel/q before the
+    # digraph blocks the rewrite).
+    Rule(r"\bAe", "Ä", "word-initial Ae"),
+    Rule(r"\bOe", "Ö", "word-initial Oe"),
+    Rule(r"\bUe", "Ü", "word-initial Ue"),
+    Rule(rf"([{_CONS}])ae", "{1}ä", "post-consonant ae"),
+    Rule(rf"([{_CONS}])oe", "{1}ö", "post-consonant oe"),
+    Rule(rf"([{_CONS}])ue", "{1}ü", "post-consonant ue"),
+    # Whitespace canonicalization (reference strips output whitespace,
+    # ollama_backend.py:137).
+    Rule(r"\n", " ", "fold line breaks"),
+    Rule(r"[ \t]+", " ", "collapse runs of spaces"),
+)
+
+
+def _py_repl(repl: str) -> str:
+    return repl.replace("{1}", "\\1").replace("{2}", "\\2")
+
+
+def _java_repl(repl: str) -> str:
+    return repl.replace("{1}", "$1").replace("{2}", "$2")
+
+
+def _duck_repl(repl: str) -> str:
+    return repl.replace("{1}", "\\1").replace("{2}", "\\2")
+
+
+# Precompiled for the pandas kernel.
+_COMPILED: tuple[tuple[re.Pattern, str], ...] = tuple(
+    (re.compile(r.pattern), _py_repl(r.repl)) for r in RULES
+)
+
+
+def normalize_text(s: str) -> str:
+    """Scalar reference implementation (tests / golden oracle)."""
+    if s is None:
+        return None
+    for pat, repl in _COMPILED:
+        s = pat.sub(repl, s)
+    return s.strip()
+
+
+def normalize_series(s):
+    """Vectorized pandas kernel: Series[str] → Series[str].
+
+    Pure ``Series.str.replace`` chain — no per-row Python. This is the
+    'ocr' kernel the pipeline runs inside mapInPandas (SURVEY B7/B16).
+    """
+    out = s.fillna("")
+    for pat, repl in _COMPILED:
+        out = out.str.replace(pat, repl, regex=True)
+    out = out.str.strip()
+    return out.where(~s.isna(), None)
+
+
+def normalize_col(col: Column) -> Column:
+    """Spark Column expression (JVM, whole-stage codegen)."""
+    out = col
+    for r in RULES:
+        out = F.regexp_replace(out, r.pattern, _java_repl(r.repl))
+    return F.trim(out)
+
+
+def duck_lit(s: str) -> str:
+    """DuckDB E-string literal: \\ doubled, quotes doubled, control chars escaped."""
+    s = (
+        s.replace("\\", "\\\\")
+        .replace("'", "''")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
+    return "E'" + s + "'"
+
+
+def normalize_sql(expr: str) -> str:
+    """DuckDB SQL expression string computing the same function.
+
+    DuckDB regexp_replace needs the 'g' flag for global replacement and
+    uses RE2 — every pattern in RULES is RE2-compatible by construction.
+    """
+    out = expr
+    for r in RULES:
+        out = (
+            f"regexp_replace({out}, {duck_lit(r.pattern)}, "
+            f"{duck_lit(_duck_repl(r.repl))}, 'g')"
+        )
+    return f"trim({out})"

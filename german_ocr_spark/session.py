@@ -1,0 +1,66 @@
+"""SparkSession builder tuned for the extraction workload.
+
+Local-mode stand-in for a multi-executor cluster: parallelism is the
+``local[N]`` thread count; all scale-sensitive knobs (AQE, shuffle
+partitions, Arrow batch size) are set the way they would be on a
+1000-executor deployment reading 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    cores: int | str | None = None,
+    app_name: str = "german-ocr-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Parameters
+    ----------
+    cores: thread count for local mode ("*" for all). Defaults to
+        ``$SPARK_GRAFT_CPUS`` or "*".
+    shuffle_partitions: defaults to 2x cores locally. On a real
+        cluster this would be sized so post-shuffle partitions land
+        near ``advisoryPartitionSizeInBytes`` (AQE coalesces down).
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8
+        shuffle_partitions = 2 * (n if cores == "*" else int(cores))
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime re-plan, skew-join splitting, partition coalescing.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow everywhere: pandas UDF / mapInPandas transfer is the
+        # engine's Python boundary; batch size bounds UDF memory.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Parquet scans: 128m splits — matches large-cluster defaults.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Deterministic timestamps in oracle comparisons.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # progress bar writes \r-terminated lines that interleave with
+        # job output and confuse log capture
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,214 @@
+"""Deterministic synthetic corpus generator (FIXTURES.md F1-F4).
+
+Seed-fixed, no wall-clock, no unseeded randomness: the same (n_docs,
+seed) always produces byte-identical corpora on any machine — the
+foundation of the bitwise-reproducibility tests. Content exercises every
+kernel: Fraktur/umlaut/hyphenation corruptions (B7), boilerplate vs
+article DOM blocks (B5), 1- and 2-column PDF layouts (B6), media spans,
+and the edge rows FIXTURES F1 mandates (empty span arrays, empty text,
+malformed tables, unsorted offsets).
+
+Skew: every ``heavy_every``-th doc is a 'multi-page PDF' with
+``heavy_spans`` spans — the skew the salted repartition (B14) exists for.
+"""
+
+from __future__ import annotations
+
+import random
+
+from .kernels.parse import RS, US
+
+_WORDS = (
+    "Versicherung Rechnung Betrag Kunde Straße München Händler Bäume "
+    "Äpfel über schön Zahlung Datum Nummer Firma Quelle Deutschland "
+    "Österreich Gebühren Vertrag Unterlagen Prüfung Anschrift Lieferung"
+).split()
+_FILLER = "der die das und ist nicht ein mit von zu auf für im den".split()
+_UMLAUT_DIGRAPH = {"ä": "ae", "ö": "oe", "ü": "ue", "Ä": "Ae", "Ö": "Oe", "Ü": "Ue"}
+
+
+def _sentence(rng: random.Random) -> str:
+    n = rng.randint(5, 12)
+    words = [rng.choice(_WORDS if rng.random() < 0.4 else _FILLER) for _ in range(n)]
+    return " ".join(words) + "."
+
+
+def _corrupt(s: str, rng: random.Random) -> str:
+    """Apply seeded OCR-style corruptions (the inputs B7 repairs)."""
+    out = []
+    for ch in s:
+        r = rng.random()
+        if ch == "s" and r < 0.15:
+            out.append("ſ")
+        elif ch in _UMLAUT_DIGRAPH and r < 0.4:
+            out.append(_UMLAUT_DIGRAPH[ch])
+        else:
+            out.append(ch)
+    s = "".join(out)
+    if rng.random() < 0.3:
+        s = s.replace("sch", "fch", 1)
+    if rng.random() < 0.2:
+        s = s.replace(" und ", " nnd ", 1)
+    # line-break hyphenation inside a long word
+    if rng.random() < 0.4:
+        toks = s.split(" ")
+        longs = [i for i, t in enumerate(toks) if len(t) >= 8 and t.isalpha()]
+        if longs:
+            i = rng.choice(longs)
+            t = toks[i]
+            cut = rng.randint(3, len(t) - 3)
+            toks[i] = t[:cut] + "-\n" + t[cut:].lower()
+            s = " ".join(toks)
+    return s
+
+
+def _ocr_span_text(rng: random.Random) -> str:
+    return "\n".join(_corrupt(_sentence(rng), rng) for _ in range(rng.randint(2, 6)))
+
+
+def _text_span_text(rng: random.Random) -> str:
+    return "  ".join(_sentence(rng) for _ in range(rng.randint(1, 4)))
+
+
+def _html_span_text(rng: random.Random, malformed: bool = False) -> str:
+    """Serialized DOM-node table: article <p> blocks interleaved with
+    link-dense nav/footer boilerplate (FIXTURES F2)."""
+    records: list[str] = []
+    node_id = 0
+
+    def add(tag: str, block_id: int, text: str):
+        nonlocal node_id
+        records.append(US.join([str(node_id), tag, str(block_id), text]))
+        node_id += 1
+
+    block_id = 0
+    add("nav", block_id, "")
+    for _ in range(rng.randint(2, 5)):
+        add("a", block_id, rng.choice(["Start", "Impressum", "Kontakt", "Hilfe"]))
+    block_id += 1
+    for _ in range(rng.randint(1, 4)):
+        add("p", block_id, " ".join(_sentence(rng) for _ in range(rng.randint(2, 4))))
+        if rng.random() < 0.3:
+            add("a", block_id, rng.choice(_WORDS))
+        block_id += 1
+    add("footer", block_id, "")
+    add("a", block_id, "Datenschutz")
+    add("a", block_id, "AGB")
+    if malformed:
+        records.append("999")  # too few fields → span-level error
+    return RS.join(records)
+
+
+def _pdf_span_text(rng: random.Random, two_col: bool | None = None) -> str:
+    """Serialized layout-block table (FIXTURES F3): header/footer plus a
+    1- or 2-column body; some block texts end hyphenated."""
+    if two_col is None:
+        two_col = rng.random() < 0.5
+    records: list[str] = []
+    page = 1
+
+    def add(x0, y0, x1, y1, text):
+        records.append(
+            US.join([str(page), f"{x0:.1f}", f"{y0:.1f}", f"{x1:.1f}", f"{y1:.1f}", text])
+        )
+
+    add(50.0, 20.0, 550.0, 35.0, "Seite 1")  # header
+    if two_col:
+        y = 60.0
+        for _ in range(rng.randint(2, 4)):
+            t = _corrupt(_sentence(rng), rng)
+            add(50.0, y, 290.0, y + 40.0, t)
+            y += 50.0
+        y = 60.0
+        for _ in range(rng.randint(2, 4)):
+            t = _corrupt(_sentence(rng), rng)
+            add(310.0, y, 550.0, y + 40.0, t)
+            y += 50.0
+    else:
+        y = 60.0
+        for _ in range(rng.randint(3, 6)):
+            t = _corrupt(_sentence(rng), rng)
+            if rng.random() < 0.3 and " " in t:
+                t = t.rstrip(".") + "-"  # hyphenated continuation across blocks
+            add(50.0, y, 550.0, y + 30.0, t)
+            y += 40.0
+    add(50.0, 780.0, 550.0, 795.0, "Fußzeile")
+    return RS.join(records)
+
+
+def _heavy_pdf_spans(rng: random.Random, n_spans: int, doc_id: str) -> list[tuple]:
+    spans = []
+    for j in range(n_spans):
+        spans.append(("pdf", _pdf_span_text(rng, two_col=(j % 3 == 0)), "", j * 10))
+    return spans
+
+
+def synth_docs(
+    n_docs: int,
+    seed: int = 42,
+    heavy_every: int = 100,
+    heavy_spans: tuple[int, int] = (60, 200),
+    edge_cases: bool = True,
+) -> list[tuple[str, list[tuple[str, str, str, int]]]]:
+    """Returns [(doc_id, [(kind, text, media_ref, offset), ...]), ...].
+
+    Span tuple order matches schema.SPAN_STRUCT.
+    """
+    docs = []
+    for i in range(n_docs):
+        rng = random.Random(seed * 1_000_003 + i)
+        doc_id = f"doc-{i:08d}"
+        if edge_cases and i == 1:
+            docs.append((doc_id, []))  # empty spans array
+            continue
+        if edge_cases and i == 2:
+            docs.append(
+                (doc_id, [("text", "", "", 0), ("ocr", "Verſicherung", "", 10)])
+            )
+            continue
+        if edge_cases and i == 3:
+            docs.append(
+                (doc_id, [("html", _html_span_text(rng, malformed=True), "", 0)])
+            )
+            continue
+        if edge_cases and i == 4:  # unsorted offsets — pipeline must re-sort
+            docs.append(
+                (
+                    doc_id,
+                    [
+                        ("text", "zweiter Teil", "", 20),
+                        ("ocr", "erſter Teil", "", 0),
+                        ("text", "dritter Teil", "", 40),
+                    ],
+                )
+            )
+            continue
+        if heavy_every and i % heavy_every == 0 and i > 0:
+            n = rng.randint(*heavy_spans)
+            docs.append((doc_id, _heavy_pdf_spans(rng, n, doc_id)))
+            continue
+
+        spans: list[tuple[str, str, str, int]] = []
+        n_spans = rng.randint(2, 8)
+        offset = 0
+        for j in range(n_spans):
+            kind = rng.choice(["text", "ocr", "html", "pdf", "image"])
+            if kind == "text":
+                spans.append((kind, _text_span_text(rng), "", offset))
+            elif kind == "ocr":
+                spans.append((kind, _ocr_span_text(rng), "", offset))
+            elif kind == "html":
+                spans.append((kind, _html_span_text(rng), "", offset))
+            elif kind == "pdf":
+                spans.append((kind, _pdf_span_text(rng), "", offset))
+            else:
+                spans.append((kind, "", f"ref://{doc_id}/{j}", offset))
+            offset += 10
+        docs.append((doc_id, spans))
+    return docs
+
+
+def docs_to_spark(spark, docs):
+    from .schema import DOCUMENTS_SPANS_SCHEMA
+
+    return spark.createDataFrame(docs, schema=DOCUMENTS_SPANS_SCHEMA)

@@ -1,0 +1,64 @@
+"""B7 kernel: hand-written expectations + 3-way backend parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from german_ocr_spark.functions.german import (
+    normalize_col,
+    normalize_series,
+    normalize_sql,
+    normalize_text,
+)
+
+CASES = [
+    ("Verſicherung", "Versicherung"),
+    ("Deutfchland", "Deutschland"),
+    ("Fchule", "Schule"),
+    ("a nnd b", "a und b"),
+    ("Nnd dann", "Und dann"),
+    ("Versiche-\nrung", "Versicherung"),
+    ("Nord-\nWest", "Nord- West"),  # uppercase continuation: no join
+    ("Haendler", "Händler"),
+    ("Muenchen", "München"),
+    ("Quelle", "Quelle"),  # q before ue: untouched
+    ("neue", "neue"),  # vowel before ue: untouched
+    ("Aepfel", "Äpfel"),
+    ("Oesterreich", "Österreich"),
+    ("Ueber", "Über"),
+    ("groſse", "große"),  # long-s + s → ß
+    ("groſſe", "grosse"),  # bare long-s pair → round s
+    ("  viel   Raum \t hier  ", "viel Raum hier"),
+    ("a\r\nb", "a b"),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CASES)
+def test_scalar(raw, expected):
+    assert normalize_text(raw) == expected
+
+
+def test_series_matches_scalar():
+    raw = [c[0] for c in CASES] + [None]
+    s = pd.Series(raw, dtype=object)
+    got = normalize_series(s).tolist()
+    want = [normalize_text(x) for x in raw]
+    assert got == want
+
+
+def test_duckdb_parity():
+    raw = [c[0] for c in CASES]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": raw}))
+    got = [r[0] for r in con.sql(f"select {normalize_sql('x')} from t").fetchall()]
+    assert got == [normalize_text(x) for x in raw]
+
+
+def test_spark_parity(spark):
+    raw = [c[0] for c in CASES]
+    df = spark.createDataFrame([(x,) for x in raw], "x string")
+    got = [r[0] for r in df.select(normalize_col(df.x).alias("y")).collect()]
+    assert got == [normalize_text(x) for x in raw]
