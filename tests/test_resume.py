@@ -1,0 +1,86 @@
+"""Checkpoint/resume + lineage (SURVEY B15; reference A15-A18 semantics)
+and cross-partitioning determinism (BASELINE.json cluster-size
+invariance, test-level stand-in)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from german_ocr_spark import pipeline
+from german_ocr_spark.golden import golden_extract
+from german_ocr_spark.operators.extract import extract_pipeline
+from german_ocr_spark.plans import lineage as lin
+from german_ocr_spark.synth import docs_to_spark, synth_docs
+
+N_DOCS = 150
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return synth_docs(N_DOCS, seed=42, heavy_every=60, heavy_spans=(20, 40))
+
+
+def _sorted_pdf(df) -> pd.DataFrame:
+    return (
+        df.toPandas()
+        .sort_values(["doc_id", "order"])
+        .reset_index(drop=True)
+        .astype({"order": "int64"})
+    )
+
+
+def test_full_run_matches_golden(spark, docs, tmp_path):
+    out = str(tmp_path / "out")
+    res = pipeline.run(spark, docs_to_spark(spark, docs), out, n_buckets=8)
+    assert res.buckets_processed == 8 and res.buckets_skipped == 0
+    got = _sorted_pdf(pipeline.read_output(spark, out))
+    want = golden_extract(docs).astype({"order": "int64"})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # lineage totals agree with data
+    assert res.span_count == len(want)
+    assert res.error_count == int(want["error"].notna().sum())
+
+
+def test_resume_after_partial_commit(spark, docs, tmp_path):
+    """Kill after the first commit group → rerun → identical final table
+    and no double-processing of committed buckets."""
+    out = str(tmp_path / "out")
+    sdf = docs_to_spark(spark, docs)
+    partial = pipeline.run(
+        spark, sdf, out, n_buckets=8, bucket_group_size=3, max_groups=1
+    )
+    assert partial.buckets_processed == 3
+    assert len(lin.committed_buckets(spark, out)) == 3
+
+    resumed = pipeline.run(spark, sdf, out, n_buckets=8, bucket_group_size=3)
+    assert resumed.buckets_skipped == 3
+    assert resumed.buckets_processed == 5
+
+    got = _sorted_pdf(pipeline.read_output(spark, out))
+    want = golden_extract(docs).astype({"order": "int64"})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # each bucket committed exactly once
+    ldf = lin.read_lineage(spark, out).toPandas()
+    assert ldf.groupby("bucket_id").size().max() == 1
+
+
+def test_rerun_noop(spark, docs, tmp_path):
+    out = str(tmp_path / "out")
+    sdf = docs_to_spark(spark, docs)
+    pipeline.run(spark, sdf, out, n_buckets=4)
+    res2 = pipeline.run(spark, sdf, out, n_buckets=4)
+    assert res2.buckets_processed == 0 and res2.buckets_skipped == 4
+
+
+def test_partitioning_invariance(spark, docs):
+    """Same input at wildly different parallelism/salting → bitwise-equal
+    sorted output (stand-in for N vs 4N executors; the process-level
+    local[8]/local[32] evidence lives in scale_bench.py)."""
+    sdf = docs_to_spark(spark, docs)
+    a = _sorted_pdf(extract_pipeline(sdf.repartition(1), salt_partitions=None))
+    b = _sorted_pdf(extract_pipeline(sdf.repartition(64), salt_partitions=48))
+    pd.testing.assert_frame_equal(a, b)
