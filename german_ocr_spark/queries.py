@@ -1,0 +1,1019 @@
+"""Driver-contract query registry (SURVEY §2 Part B + training-data ops).
+
+Every entry exists twice: a Spark DataFrame program (idiomatic —
+declarative plans, broadcast hints, window specs, built-in functions
+only in the hot path) and a DuckDB ANSI-SQL oracle producing the exact
+same rows. Column names are aliased identically on both sides; float
+aggregation goes through exact DECIMAL arithmetic or floor-rounding so
+the driver's value-hash comparison is bitwise-stable.
+
+Conventions for cross-engine determinism:
+- money sums: cast to DECIMAL(18,4) BEFORE aggregating (exact, order-
+  independent on both engines), cast the final sum to double;
+- ratios: floor(x*1e6)/1e6 (round() differs: HALF_UP vs HALF_EVEN);
+- top-k: rank keys always include a unique integer tiebreak;
+- hashes: md5 hex (identical everywhere); hex→int via conv/0x-cast.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import german, textstats
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col_name: str):
+    return F.col(col_name).cast("decimal(18,4)")
+
+
+def _floor6(c):
+    return F.floor(c * 1000000.0) / 1000000.0
+
+
+def _floor6_sql(e: str) -> str:
+    return f"(floor(({e}) * 1000000.0) / 1000000.0)"
+
+
+# =====================================================================
+# Relational core (SURVEY B3/B4/B9-B13) over the TPC-H-ish tables
+# =====================================================================
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           (floor(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                  / COUNT(*) * 1000000.0) / 1000000.0) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            _floor6(
+                F.sum(_dec("l_quantity")).cast("double") / F.count("*")
+            ).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_top_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q02(spark, sf_dir):
+    # customer is the small dimension: broadcast it (no shuffle of the
+    # fact side on the build key at 100 TB).
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q03_region_revenue",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name IN ('EUROPE', 'ASIA')
+    GROUP BY n.n_name
+    """,
+)
+def q03(spark, sf_dir):
+    r = load(spark, sf_dir, "region").filter(F.col("r_name").isin("EUROPE", "ASIA"))
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    # dim chain region->nation->customer is tiny: broadcast the whole
+    # reduced customer dim into the fact joins.
+    dim = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q04_priority_discounted",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "q05_orders_no_lineitem",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    GROUP BY o_orderstatus
+    """,
+)
+def q05(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "q06_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q06(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "q07_running_user_value",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS run_value
+    FROM events
+    """,
+)
+def q07(spark, sf_dir):
+    # running sum goes through DECIMAL: exact, so the prefix sums are
+    # bit-identical regardless of engine or partitioning.
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("run_value"),
+    )
+
+
+@query(
+    "q08_events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, COUNT(*) AS n,
+           (floor(AVG(value) * 1000000.0) / 1000000.0) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q08(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            _floor6(F.avg("value")).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "q09_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def q09(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("timestamp").cast("long")
+                - F.lag("ts").over(w).cast("timestamp").cast("long")
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("session_id", F.sum("is_new").over(wrun))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q10_rollup_docs",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+)
+def q10(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@query(
+    "q11_topk_docs",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q11(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .select("doc_id", "lang", "n_chars")
+        .limit(20)
+    )
+
+
+@query(
+    "q12_clickers_not_buyers",
+    """
+    SELECT user_id FROM events
+    WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+    """,
+)
+def q12(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp_ntz")
+    )
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.distinct().exceptAll(buyers.distinct())
+
+
+@query(
+    "q13_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum
+    FROM events GROUP BY 1
+    """,
+)
+def q13(spark, sf_dir):
+    # A9/A10 analog: JSON field extraction as a relational op
+    # (reference _parse_json, extractor.py:110-130).
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy((k % 10).alias("k_mod")).agg(
+        F.count("*").alias("n"), F.sum(k).alias("k_sum")
+    )
+
+
+# =====================================================================
+# Text analysis & German normalization (B4/B7; training-data ops)
+# =====================================================================
+
+@query(
+    "q14_normalize_german",
+    f"""
+    SELECT doc_id, {german.normalize_sql('text')} AS clean_text FROM documents
+    """,
+)
+def q14(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", german.normalize_col(F.col("text")).alias("clean_text"))
+
+
+@query(
+    "q15_doc_stats",
+    f"""
+    SELECT doc_id,
+           {textstats.token_count_sql('text')} AS n_tokens,
+           {textstats.punct_ratio_sql('text')} AS punct_ratio,
+           {textstats.stopword_ratio_sql('text')} AS stopword_ratio,
+           {textstats.quality_score_sql('text')} AS quality,
+           {textstats.langid_sql('text')} AS lang_guess
+    FROM documents
+    """,
+)
+def q15(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        textstats.token_count_col(t).alias("n_tokens"),
+        textstats.punct_ratio_col(t).alias("punct_ratio"),
+        textstats.stopword_ratio_col(t).alias("stopword_ratio"),
+        textstats.quality_score_col(t).alias("quality"),
+        textstats.langid_col(t).alias("lang_guess"),
+    )
+
+
+@query(
+    "q16_langid_distribution",
+    f"""
+    SELECT {textstats.langid_sql('text')} AS lang_guess, lang AS lang_true,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def q16(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(
+        textstats.langid_col(F.col("text")).alias("lang_guess"),
+        F.col("lang").alias("lang_true"),
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "q17_exact_dedup",
+    f"""
+    SELECT {textstats.fingerprint_sql('text')} AS fp,
+           MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q17(spark, sf_dir):
+    # Exact dedup: hash-groupBy on canonicalized text (map-side partial
+    # agg; at 100 TB this is one shuffle on the 16-byte fingerprint).
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(
+        textstats.fingerprint_col(F.col("text")).alias("fp")
+    ).agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_dups"))
+
+
+# =====================================================================
+# Near-duplicate detection: shingles → Jaccard, MinHash, LSH bands
+# (training-data dedup family; SURVEY Part B + task brief)
+# =====================================================================
+
+# Shared shingle CTE (DuckDB): word 3-grams via aligned unnest + lead().
+_SHINGLE_CTE = """
+    WITH tok AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS sh
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), shd AS (SELECT DISTINCT doc_id, sh FROM sh WHERE sh IS NOT NULL)
+"""
+
+
+def _shingles(spark, sf_dir):
+    """Distinct word-3-gram shingles per doc: (doc_id, sh). NULL-propagating
+    concat mirrors the SQL `||` so trailing partial shingles drop."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks.select(
+        "doc_id",
+        F.concat(
+            F.col("tok"),
+            F.lit(" "),
+            F.lead("tok", 1).over(w),
+            F.lit(" "),
+            F.lead("tok", 2).over(w),
+        ).alias("sh"),
+    ).filter(F.col("sh").isNotNull())
+    return sh.distinct()
+
+
+@query(
+    "q18_ngram_jaccard_pairs",
+    _SHINGLE_CTE
+    + """
+    , sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shd GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           (floor(inter * 1000000.0 / (sa.sz + sb.sz - inter)) / 1000000.0)
+             AS jaccard
+    FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a
+                 JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE inter * 2.0 > (sa.sz + sb.sz - inter)
+    """,
+)
+def q18(spark, sf_dir):
+    # Candidate pairs come from an equi-join on the shingle itself —
+    # Catalyst shuffles both sides by `sh`, which is exactly the
+    # shingle-inverted-index plan; no O(n^2) pair enumeration.
+    shd = _shingles(spark, sf_dir)
+    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shd.alias("a")
+    b = shd.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            F.col("inter") * 2.0 > (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.floor(
+                    F.col("inter")
+                    * 1000000.0
+                    / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+                )
+                / 1000000.0
+            ).alias("jaccard"),
+        )
+    )
+
+
+# MinHash parameters: x reduced mod p first so a*x+b stays < 2^41.
+_MH_P = 2147483647
+_MH_COEF = ((2, 1), (3, 7), (5, 11), (7, 19), (11, 23), (13, 31))
+
+
+def _minhash_df(spark, sf_dir):
+    shd = _shingles(spark, sf_dir)
+    x = F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("long") % F.lit(_MH_P)
+    aggs = [
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(_MH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MH_COEF)
+    ]
+    return shd.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sql_cols() -> str:
+    x = f"(('0x' || substr(md5(sh), 1, 12))::BIGINT % {_MH_P})"
+    return ", ".join(
+        f"MIN(({a} * {x} + {b}) % {_MH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_MH_COEF)
+    )
+
+
+@query(
+    "q19_minhash_signatures",
+    _SHINGLE_CTE
+    + f"""
+    SELECT doc_id, {_minhash_sql_cols()}
+    FROM shd GROUP BY doc_id
+    """,
+)
+def q19(spark, sf_dir):
+    # MinHash signature = k independent permutation-min hashes per doc;
+    # one shuffle (groupBy doc_id), map-side partial min.
+    return _minhash_df(spark, sf_dir)
+
+
+@query(
+    "q20_lsh_candidate_pairs",
+    _SHINGLE_CTE
+    + f"""
+    , mh AS (SELECT doc_id, {_minhash_sql_cols()} FROM shd GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh0 || ':' || mh1 AS sig FROM mh
+      UNION ALL
+      SELECT doc_id, 1, mh2 || ':' || mh3 FROM mh
+      UNION ALL
+      SELECT doc_id, 2, mh4 || ':' || mh5 FROM mh
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(DISTINCT a.band) AS n_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q20(spark, sf_dir):
+    # LSH banding: docs sharing any band signature are candidates —
+    # the bucket-join replaces all-pairs comparison (shuffle key =
+    # (band, sig); bucket sizes bound the join fan-out).
+    mh = _minhash_df(spark, sf_dir)
+    bands = None
+    for band in range(3):
+        part = mh.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.concat_ws(":", f"mh{2*band}", f"mh{2*band+1}").alias("sig"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct(F.col("a.band")).alias("n_bands"))
+    )
+
+
+# =====================================================================
+# Embedding similarity: brute-force cosine top-k + sign-LSH bucketed ANN
+# =====================================================================
+
+# Exact cross-engine dot products: explode dims, multiply as DOUBLE,
+# sum as DECIMAL(28,12) (order-independent), divide as DOUBLE.
+_EMB_DIMS_CTE = """
+    WITH dims AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), norms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+      FROM dims GROUP BY vec_id
+    )
+"""
+
+
+def _emb_dims(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos0", "v_raw"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v_raw").cast("double").alias("v"),
+    )
+
+
+def _emb_norms(dims):
+    return dims.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum((F.col("v") * F.col("v")).cast("decimal(28,12)")).cast("double")
+        ).alias("nrm")
+    )
+
+
+@query(
+    "q21_cosine_topk",
+    _EMB_DIMS_CTE
+    + """
+    , dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(q.v * c.v AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      FROM dims q JOIN dims c ON q.pos = c.pos AND q.vec_id < 5
+                                AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             (floor(dot / (nq.nrm * nc.nrm) * 1000000.0) / 1000000.0) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY (floor(dot / (nq.nrm * nc.nrm) * 1000000.0) / 1000000.0) DESC,
+                        neighbor_id ASC) AS rn
+      FROM dots JOIN norms nq ON nq.vec_id = dots.query_id
+                JOIN norms nc ON nc.vec_id = dots.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn FROM scored WHERE rn <= 5
+    """,
+)
+def q21(spark, sf_dir):
+    # Brute-force cosine top-k — the correctness baseline for ANN.
+    # At scale the dims explosion becomes a zipped join on (pos) with
+    # the query side broadcast (5 vecs); here expressed relationally so
+    # DuckDB can replay it exactly.
+    dims = _emb_dims(spark, sf_dir)
+    norms = _emb_norms(dims)
+    q = dims.filter(F.col("vec_id") < 5).alias("q")
+    c = dims.alias("c")
+    dots = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q.pos") == F.col("c.pos"))
+            & (F.col("c.vec_id") != F.col("q.vec_id")),
+        )
+        .groupBy(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+        )
+        .agg(
+            F.sum((F.col("q.v") * F.col("c.v")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    nq = norms.alias("nq")
+    nc = norms.alias("nc")
+    cos = (
+        F.floor(
+            F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm")) * 1000000.0
+        )
+        / 1000000.0
+    )
+    scored = (
+        dots.join(nq, F.col("nq.vec_id") == F.col("query_id"))
+        .join(nc, F.col("nc.vec_id") == F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+_SIGN_BUCKET_SQL = """
+    buckets AS (
+      SELECT vec_id,
+             SUM(CASE WHEN v >= 0 THEN CAST(pow(2, pos - 1) AS BIGINT) ELSE 0 END)
+               AS bucket
+      FROM dims WHERE pos <= 8 GROUP BY vec_id
+    )
+"""
+
+
+def _sign_buckets(dims):
+    # sign-LSH: bucket id from the sign bits of the first 8 dims — the
+    # deterministic, SQL-replayable stand-in for random-hyperplane LSH.
+    return (
+        dims.filter(F.col("pos") <= 8)
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") >= 0, F.pow(F.lit(2), F.col("pos") - 1).cast("long")
+                ).otherwise(F.lit(0))
+            ).alias("bucket")
+        )
+    )
+
+
+@query(
+    "q22_ann_bucket_neighbors",
+    _EMB_DIMS_CTE
+    + ","
+    + _SIGN_BUCKET_SQL
+    + """
+    , dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(SUM(CAST(da.v * db.v AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      FROM buckets a JOIN buckets b
+           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      JOIN dims da ON da.vec_id = a.vec_id
+      JOIN dims db ON db.vec_id = b.vec_id AND db.pos = da.pos
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT vec_a, vec_b,
+             (floor(dot / (na.nrm * nb.nrm) * 1000000.0) / 1000000.0) AS cos_sim
+      FROM dots JOIN norms na ON na.vec_id = vec_a
+                JOIN norms nb ON nb.vec_id = vec_b
+    ), ranked AS (
+      SELECT vec_a AS vec_id, vec_b AS nn_id, cos_sim FROM scored
+      UNION ALL
+      SELECT vec_b, vec_a, cos_sim FROM scored
+    )
+    SELECT vec_id, nn_id, cos_sim FROM (
+      SELECT vec_id, nn_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, nn_id ASC) AS rn
+      FROM ranked) WHERE rn = 1
+    """,
+)
+def q22(spark, sf_dir):
+    # ANN scale path: sign-LSH buckets bound the candidate set; cosine
+    # is computed only within buckets (bucket equi-join), then each
+    # vector keeps its best in-bucket neighbor — the near-dup candidate
+    # list at 10^12 scale (bucket join ≪ all-pairs).
+    dims = _emb_dims(spark, sf_dir)
+    norms = _emb_norms(dims)
+    buckets = _sign_buckets(dims)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    da = dims.alias("da")
+    db = dims.alias("db")
+    dots = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .join(da, F.col("da.vec_id") == F.col("a.vec_id"))
+        .join(
+            db,
+            (F.col("db.vec_id") == F.col("b.vec_id"))
+            & (F.col("db.pos") == F.col("da.pos")),
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .agg(
+            F.sum((F.col("da.v") * F.col("db.v")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.alias("na")
+    nb = norms.alias("nb")
+    scored = (
+        dots.join(na, F.col("na.vec_id") == F.col("vec_a"))
+        .join(nb, F.col("nb.vec_id") == F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                F.floor(
+                    F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm")) * 1000000.0
+                )
+                / 1000000.0
+            ).alias("cos_sim"),
+        )
+    )
+    ranked = scored.select(
+        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("nn_id"), "cos_sim"
+    ).unionAll(
+        scored.select(
+            F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("nn_id"), "cos_sim"
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nn_id"))
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "nn_id", "cos_sim")
+    )
+
+
+@query(
+    "q23_bucket_histogram",
+    _EMB_DIMS_CTE
+    + ","
+    + _SIGN_BUCKET_SQL
+    + """
+    SELECT bucket, COUNT(*) AS n_vectors FROM buckets GROUP BY bucket
+    """,
+)
+def q23(spark, sf_dir):
+    # Bucket-size histogram: the skew diagnostic for the ANN path (a
+    # hot bucket is exactly the salting trigger at scale).
+    dims = _emb_dims(spark, sf_dir)
+    return _sign_buckets(dims).groupBy("bucket").agg(
+        F.count("*").alias("n_vectors")
+    )
+
+
+# =====================================================================
+# Span round-trip, multimodal metadata, MIME routing
+# =====================================================================
+
+@query(
+    "q24_span_roundtrip",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           trim(regexp_replace(text, '\\s+', ' ', 'g')) AS rebuilt
+    FROM documents
+    """,
+)
+def q24(spark, sf_dir):
+    # Explode → reassemble integrity (B2+B8): chunk each doc into
+    # 10-token spans, explode, then rebuild from (pos, chunk) — the
+    # oracle is the identity, so any ordering bug breaks equality.
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(toks) / 10).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
+    )
+    exploded = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.posexplode(chunks).alias("pos", "chunk"),
+    )
+    return exploded.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s.chunk,
+            ),
+            " ",
+        ).alias("rebuilt")
+    )
+
+
+@query(
+    "q25_media_bytes",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(octet_length(encode(text))) AS total_bytes
+    FROM documents GROUP BY source
+    """,
+)
+def q25(spark, sf_dir):
+    # Multimodal plumbing: opaque binary payloads carry typed metadata;
+    # byte-length accounting per source (binary column exercised JVM-side).
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length(F.encode("text", "UTF-8"))).alias("total_bytes"),
+    )
+
+
+@query(
+    "q26_mime_route",
+    """
+    SELECT CASE
+             WHEN CAST(substr(source, 4) AS INT) % 4 = 0 THEN 'application/pdf'
+             WHEN CAST(substr(source, 4) AS INT) % 4 = 1 THEN 'text/html'
+             WHEN CAST(substr(source, 4) AS INT) % 4 = 2 THEN 'image/png'
+             ELSE 'text/plain'
+           END AS mime,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q26(spark, sf_dir):
+    # A3/A4 analog: extension→MIME routing as a when/otherwise
+    # expression (reference _prepare_file allow-list + MIME map,
+    # cloud_client.py:269-311).
+    d = load(spark, sf_dir, "documents")
+    n = F.substring("source", 4, 10).cast("int")
+    mime = (
+        F.when(n % 4 == 0, "application/pdf")
+        .when(n % 4 == 1, "text/html")
+        .when(n % 4 == 2, "image/png")
+        .otherwise("text/plain")
+    )
+    return d.groupBy(mime.alias("mime")).agg(F.count("*").alias("n_docs"))
+
+
+# =====================================================================
+# Flagship: the extraction pipeline itself, oracle-checked
+# =====================================================================
+
+@query(
+    "q00_extract_pipeline",
+    f"""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS "order", 'ocr' AS kind,
+           {german.normalize_sql('text')} AS text,
+           '' AS media_ref, CAST(NULL AS VARCHAR) AS error
+    FROM documents
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), 1, 'text',
+           trim(regexp_replace(text, '\\s+', ' ', 'g')), '', NULL
+    FROM documents
+    """,
+)
+def q00(spark, sf_dir):
+    """The flagship mapInPandas extraction pipeline (SURVEY A5/A6/B2/B7/
+    B8) run over spans synthesized from the documents table: span 0 is an
+    'ocr' span (German normalization kernel), span 1 a whitespace-dirty
+    'text' span. The DuckDB oracle recomputes both kernels in SQL, so the
+    explode → order → Arrow-batch kernel → output path is value-checked
+    end to end."""
+    from .operators.extract import extract_pipeline
+
+    d = load(spark, sf_dir, "documents")
+    docs = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("ocr").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit("  "), F.col("text"), F.lit(" \t")).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(10).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return extract_pipeline(docs)
