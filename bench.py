@@ -1,0 +1,91 @@
+"""Benchmark harness (driver contract): runs every registered query at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q00_extract_pipeline": sec, ...}, "sf": 0.1, ...}
+
+Each query is forced end-to-end with a noop-format write (full physical
+execution, zero driver-side collection — the fair stand-in for a sink at
+cluster scale). The flagship extraction pipeline's docs/sec is reported
+as an extra field against BASELINE.md's reference-derived 0.14-0.2
+docs/s per worker.
+
+Usage:
+    python bench.py                 # one JSON line on stdout
+    SPARK_GRAFT_CPUS=8 python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _force(df) -> int:
+    """Execute the full plan without driver collection; returns row count
+    via the cheapest full-execution action available."""
+    try:
+        df.write.format("noop").mode("overwrite").save()
+        return -1
+    except Exception:
+        return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from german_ocr_spark.queries import QUERIES
+    from german_ocr_spark.session import get_spark
+
+    spark = get_spark(cores=cpus, app_name="bench")
+
+    # Warm the JVM + parquet footers once so per-query timings measure
+    # execution, not first-touch class loading.
+    for t in ("documents", "lineitem", "events", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    timings: dict[str, float] = {}
+    t_suite0 = time.perf_counter()
+    for name in sorted(QUERIES):
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(time.perf_counter() - t_suite0, 4)
+
+    # Flagship throughput: docs/sec through the full mapInPandas
+    # extraction pipeline (explode -> order -> kernels -> noop sink).
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    t0 = time.perf_counter()
+    _force(QUERIES["q00_extract_pipeline"](spark, sf_dir))
+    extract_sec = time.perf_counter() - t0
+    docs_per_sec = round(n_docs / extract_sec, 2) if extract_sec > 0 else None
+
+    print(
+        json.dumps(
+            {
+                "metric": "query-suite wall time (27 oracle-checked queries, noop sink)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "extract_docs_per_sec": docs_per_sec,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
