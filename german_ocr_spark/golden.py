@@ -22,10 +22,10 @@ def golden_extract(docs: list[tuple[str, list[tuple[str, str, str, int]]]]) -> p
     (doc_id, order)."""
     rows = []
     for doc_id, spans in docs:
-        # order = rank of (offset, kind, media_ref) — same sort key as
-        # operators.extract.assign_order
+        # order = rank of (offset, kind, media_ref, text) — same total
+        # order as operators.extract.ordered_span_rows / assign_order
         for order, (kind, text, media_ref, offset) in enumerate(
-            sorted(spans, key=lambda s: (s[3], s[0], s[2]))
+            sorted(spans, key=lambda s: (s[3], s[0], s[2], s[1]))
         ):
             rows.append((doc_id, order, kind, text, media_ref))
     if not rows:

@@ -121,12 +121,50 @@ def explode_spans(docs: DataFrame) -> DataFrame:
 
 
 def assign_order(span_rows: DataFrame) -> DataFrame:
-    """order = rank of offset within doc (0-based). Input span order is
-    NOT trusted — the invariant orders by explicit offset (FIXTURES F1:
-    docs may arrive with unsorted spans)."""
-    w = Window.partitionBy("doc_id").orderBy("offset", "kind", "media_ref")
+    """order = rank of offset within doc (0-based), for inputs that are
+    ALREADY exploded to span rows (one shuffle: the window regroups by
+    doc_id). When the input is the nested (doc_id, spans) shape, use
+    ``ordered_span_rows`` instead — it assigns the same order without
+    any shuffle."""
+    w = Window.partitionBy("doc_id").orderBy("offset", "kind", "media_ref", "text")
     return span_rows.withColumn(
         "order", (F.row_number().over(w) - F.lit(1)).cast("int")
+    )
+
+
+def ordered_span_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, spans) → ordered span rows with ZERO shuffles.
+
+    Because a document's spans arrive nested in one row, their order can
+    be assigned in-row: sort the array by (offset, kind, media_ref,
+    text) and posexplode — ``pos`` IS the order. The window-based
+    alternative (explode_spans + assign_order) shuffles the full text
+    payload once just to regroup rows that started out grouped; at
+    100 TB that shuffle is the single largest cost in the job, and this
+    formulation deletes it. The whole extraction plan becomes one
+    map-only stage: scan → in-row sort/explode → mapInPandas.
+
+    Input span order is NOT trusted (FIXTURES F1: docs may arrive with
+    unsorted spans); the in-row sort enforces the same total order as
+    ``assign_order``."""
+    sortable = F.transform(
+        "spans",
+        lambda s: F.struct(
+            s["offset"].alias("offset"),
+            s["kind"].alias("kind"),
+            s["media_ref"].alias("media_ref"),
+            s["text"].alias("text"),
+        ),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(F.array_sort(sortable)).alias("pos", "span")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("order"),
+        F.col("span.offset").alias("offset"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
     )
 
 
@@ -171,5 +209,12 @@ def reassemble(extracted: DataFrame) -> DataFrame:
 
 
 def extract_pipeline(docs: DataFrame, salt_partitions: int | None = None) -> DataFrame:
-    """docs (doc_id, spans) → extracted span rows (EXTRACT_DDL)."""
-    return run_extract(assign_order(explode_spans(docs)), salt_partitions)
+    """docs (doc_id, spans) → extracted span rows (EXTRACT_DDL).
+
+    Shuffle-free by default (ordered_span_rows + mapInPandas in one
+    stage). ``salt_partitions`` adds ONE explicit repartition that
+    spreads the spans of pathologically heavy documents (10^5-span
+    PDFs) across tasks — order is already assigned, so correctness is
+    unaffected; use it when the corpus has documents large enough to
+    stall a task."""
+    return run_extract(ordered_span_rows(docs), salt_partitions)

@@ -15,7 +15,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.extract import assign_order, explode_spans, run_extract
+from .operators.extract import ordered_span_rows, run_extract
 from .plans import lineage as lin
 
 
@@ -66,7 +66,7 @@ def run(
     processed = 0
     for group in groups:
         subset = docs_b.filter(F.col("bucket_id").isin(group))
-        rows = assign_order(explode_spans(subset.drop("bucket_id")))
+        rows = ordered_span_rows(subset.drop("bucket_id"))
         extracted = run_extract(rows, salt_partitions=salt_partitions)
         extracted = extracted.withColumn("bucket_id", lin.bucket_col(n_buckets))
         lin.commit_bucket_group(

@@ -77,6 +77,14 @@ def commit_bucket_group(
     ``extracted`` must already carry a ``bucket_id`` column and contain
     only rows of ``buckets``.
     """
+    # Cluster rows by bucket before the write: without this, every
+    # upstream (salted) task writes a sliver of every bucket —
+    # tasks × buckets tiny files, and the serial driver-side commit of
+    # that file count dwarfs the job at scale. One shuffle keyed on
+    # bucket_id bounds output to one file per bucket per shuffle
+    # partition (n_buckets is sized >> cores on a real cluster, so this
+    # loses no write parallelism).
+    extracted = extracted.repartition(max(len(buckets), 1), "bucket_id")
     (
         extracted.write.mode("overwrite")
         .partitionBy("bucket_id")

@@ -29,6 +29,17 @@ def get_spark(
         cluster this would be sized so post-shuffle partitions land
         near ``advisoryPartitionSizeInBytes`` (AQE coalesces down).
     """
+    # Allocator stability for the Python UDF workers (inherited via the
+    # JVM -> daemon -> worker fork chain, so must be set before the JVM
+    # starts): keep freed pages resident instead of returning them to
+    # the OS. On hosts with lazily-backed VM memory (this sandbox:
+    # first-touch page faults run at ~0.1-0.5 GB/s vs 20 GB/s for
+    # resident pages), re-faulting freed arenas dominates wall time and
+    # destroys scaling; on normal hosts these are harmless.
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("PYTHONMALLOC", "malloc")
+
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = f"local[{cores}]"

@@ -143,6 +143,56 @@ def _heavy_pdf_spans(rng: random.Random, n_spans: int, doc_id: str) -> list[tupl
     return spans
 
 
+def _one_doc(
+    i: int,
+    seed: int,
+    heavy_every: int,
+    heavy_spans: tuple[int, int],
+    edge_cases: bool,
+) -> tuple[str, list[tuple[str, str, str, int]]]:
+    """One document's spans, a pure function of (i, seed, params) — the
+    property that makes distributed generation deterministic regardless
+    of partitioning."""
+    rng = random.Random(seed * 1_000_003 + i)
+    doc_id = f"doc-{i:08d}"
+    if edge_cases and i == 1:
+        return (doc_id, [])  # empty spans array
+    if edge_cases and i == 2:
+        return (doc_id, [("text", "", "", 0), ("ocr", "Verſicherung", "", 10)])
+    if edge_cases and i == 3:
+        return (doc_id, [("html", _html_span_text(rng, malformed=True), "", 0)])
+    if edge_cases and i == 4:  # unsorted offsets — pipeline must re-sort
+        return (
+            doc_id,
+            [
+                ("text", "zweiter Teil", "", 20),
+                ("ocr", "erſter Teil", "", 0),
+                ("text", "dritter Teil", "", 40),
+            ],
+        )
+    if heavy_every and i % heavy_every == 0 and i > 0:
+        n = rng.randint(*heavy_spans)
+        return (doc_id, _heavy_pdf_spans(rng, n, doc_id))
+
+    spans: list[tuple[str, str, str, int]] = []
+    n_spans = rng.randint(2, 8)
+    offset = 0
+    for j in range(n_spans):
+        kind = rng.choice(["text", "ocr", "html", "pdf", "image"])
+        if kind == "text":
+            spans.append((kind, _text_span_text(rng), "", offset))
+        elif kind == "ocr":
+            spans.append((kind, _ocr_span_text(rng), "", offset))
+        elif kind == "html":
+            spans.append((kind, _html_span_text(rng), "", offset))
+        elif kind == "pdf":
+            spans.append((kind, _pdf_span_text(rng), "", offset))
+        else:
+            spans.append((kind, "", f"ref://{doc_id}/{j}", offset))
+        offset += 10
+    return (doc_id, spans)
+
+
 def synth_docs(
     n_docs: int,
     seed: int = 42,
@@ -154,58 +204,53 @@ def synth_docs(
 
     Span tuple order matches schema.SPAN_STRUCT.
     """
-    docs = []
-    for i in range(n_docs):
-        rng = random.Random(seed * 1_000_003 + i)
-        doc_id = f"doc-{i:08d}"
-        if edge_cases and i == 1:
-            docs.append((doc_id, []))  # empty spans array
-            continue
-        if edge_cases and i == 2:
-            docs.append(
-                (doc_id, [("text", "", "", 0), ("ocr", "Verſicherung", "", 10)])
-            )
-            continue
-        if edge_cases and i == 3:
-            docs.append(
-                (doc_id, [("html", _html_span_text(rng, malformed=True), "", 0)])
-            )
-            continue
-        if edge_cases and i == 4:  # unsorted offsets — pipeline must re-sort
-            docs.append(
-                (
-                    doc_id,
-                    [
-                        ("text", "zweiter Teil", "", 20),
-                        ("ocr", "erſter Teil", "", 0),
-                        ("text", "dritter Teil", "", 40),
-                    ],
-                )
-            )
-            continue
-        if heavy_every and i % heavy_every == 0 and i > 0:
-            n = rng.randint(*heavy_spans)
-            docs.append((doc_id, _heavy_pdf_spans(rng, n, doc_id)))
-            continue
+    return [
+        _one_doc(i, seed, heavy_every, heavy_spans, edge_cases)
+        for i in range(n_docs)
+    ]
 
-        spans: list[tuple[str, str, str, int]] = []
-        n_spans = rng.randint(2, 8)
-        offset = 0
-        for j in range(n_spans):
-            kind = rng.choice(["text", "ocr", "html", "pdf", "image"])
-            if kind == "text":
-                spans.append((kind, _text_span_text(rng), "", offset))
-            elif kind == "ocr":
-                spans.append((kind, _ocr_span_text(rng), "", offset))
-            elif kind == "html":
-                spans.append((kind, _html_span_text(rng), "", offset))
-            elif kind == "pdf":
-                spans.append((kind, _pdf_span_text(rng), "", offset))
-            else:
-                spans.append((kind, "", f"ref://{doc_id}/{j}", offset))
-            offset += 10
-        docs.append((doc_id, spans))
-    return docs
+
+def synth_docs_distributed(
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    heavy_every: int = 100,
+    heavy_spans: tuple[int, int] = (60, 200),
+    edge_cases: bool = True,
+    n_partitions: int | None = None,
+):
+    """Executor-side corpus generation: ``spark.range(n_docs)`` →
+    mapInPandas building each doc from its id. Byte-identical to
+    ``synth_docs`` (same per-doc seeded rng, independent of which
+    partition a doc id lands in) but the generation cost is distributed —
+    the driver loop would be the bottleneck at any real corpus size."""
+    from .schema import DOCUMENTS_SPANS_SCHEMA
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = [
+                _one_doc(int(i), seed, heavy_every, heavy_spans, edge_cases)
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": [d for d, _ in recs],
+                    "spans": [
+                        [
+                            {"kind": k, "text": t, "media_ref": m, "offset": o}
+                            for (k, t, m, o) in spans
+                        ]
+                        for _, spans in recs
+                    ],
+                }
+            )
+
+    if n_partitions is None:
+        n_partitions = max(int(spark.sparkContext.defaultParallelism) * 2, 2)
+    rng_df = spark.range(0, n_docs).repartition(n_partitions)
+    return rng_df.mapInPandas(gen, schema=DOCUMENTS_SPANS_SCHEMA)
 
 
 def docs_to_spark(spark, docs):
