@@ -973,6 +973,260 @@ def q26(spark, sf_dir):
 
 
 # =====================================================================
+# Structured extraction (A9-A11): JSON payload → typed columns
+# =====================================================================
+
+# Deterministic model-output payloads synthesized from doc_id: fenced
+# JSON, bare form JSON, JSON wrapped in prose, and malformed JSON — the
+# four shapes the reference's _parse_json handles (extractor.py:110-130).
+_PAYLOAD_SQL = """
+    WITH base AS (
+      SELECT doc_id,
+             '{"type":"invoice","invoice_number":"INV-' || doc_id ||
+             '","date":"2024-01-15","items":[{"p":"a"},{"p":"b"}],"totals":{"gross":'
+             || CAST(doc_id % 100 AS VARCHAR) || '.25}}' AS inv
+      FROM documents
+    ), payloads AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN chr(96)||chr(96)||chr(96)||'json'||chr(10)|| inv ||chr(10)||chr(96)||chr(96)||chr(96)
+               WHEN 1 THEN '{"type":"form","title":"Formular ' || doc_id ||
+                           '","fields":[{"name":"f1"},{"name":"f2"}]}'
+               WHEN 2 THEN 'Ergebnis: ' || inv || ' Ende.'
+               ELSE '{"type":"invoice","invoice_number": KAPUTT'
+             END AS raw_response
+      FROM base
+    ), cleaned AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(raw_response, '^\\s*```(json)?\\s*', ''),
+                            '\\s*```\\s*$', '') AS nofence
+      FROM payloads
+    ), chosen AS (
+      SELECT doc_id,
+             CASE WHEN length(regexp_extract(nofence, '(\\{[\\s\\S]*\\})', 1)) > 0
+                  THEN regexp_extract(nofence, '(\\{[\\s\\S]*\\})', 1)
+                  ELSE nofence END AS js
+      FROM cleaned
+    )
+    SELECT doc_id,
+           CASE WHEN json_valid(js)
+                THEN coalesce(json_extract_string(js, '$.type'), 'document') END
+             AS doc_type,
+           json_valid(js) AS success,
+           CASE WHEN json_valid(js)
+                THEN json_extract_string(js, '$.invoice_number') END AS invoice_number,
+           CASE WHEN json_valid(js)
+                THEN CAST(json_array_length(js, '$.items') AS INT) END AS n_items,
+           CASE WHEN json_valid(js)
+                THEN CAST(json_extract(js, '$.totals.gross') AS DOUBLE) END AS gross,
+           CASE WHEN json_valid(js)
+                THEN json_extract_string(js, '$.title') END AS title
+    FROM chosen
+"""
+
+
+def _payloads(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    inv = F.concat(
+        F.lit('{"type":"invoice","invoice_number":"INV-'),
+        F.col("doc_id").cast("string"),
+        F.lit('","date":"2024-01-15","items":[{"p":"a"},{"p":"b"}],"totals":{"gross":'),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(".25}}"),
+    )
+    m = F.col("doc_id") % 4
+    payload = (
+        F.when(m == 0, F.concat(F.lit("```json\n"), inv, F.lit("\n```")))
+        .when(
+            m == 1,
+            F.concat(
+                F.lit('{"type":"form","title":"Formular '),
+                F.col("doc_id").cast("string"),
+                F.lit('","fields":[{"name":"f1"},{"name":"f2"}]}'),
+            ),
+        )
+        .when(m == 2, F.concat(F.lit("Ergebnis: "), inv, F.lit(" Ende.")))
+        .otherwise(F.lit('{"type":"invoice","invoice_number": KAPUTT'))
+    )
+    return d.select("doc_id", payload.alias("raw_response"))
+
+
+@query("q27_structured_extract", _PAYLOAD_SQL)
+def q27(spark, sf_dir):
+    """A9-A11 end to end: fence strip → lenient from_json (corrupt
+    detection) → type dispatch → typed fields with defaults — one
+    WholeStageCodegen select chain, no Python (reference does this
+    per-doc in extractor.py:110-223)."""
+    from .operators.structured import structured_extract
+
+    out = structured_extract(_payloads(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "doc_type",
+        "success",
+        F.col("data.invoice_number").alias("invoice_number"),
+        F.size("data.items").alias("n_items"),
+        F.col("data.totals")["gross"].alias("gross"),
+        F.col("data.title").alias("title"),
+    )
+
+
+# =====================================================================
+# SimHash near-dup: 16-bit signatures + banded candidate pairs
+# =====================================================================
+
+_SH_BITS = 48
+_SH_TOK = """
+    WITH tok AS (
+      SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h FROM tok
+    )
+"""
+
+
+def _simhash_sql_expr() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(_SH_BITS)
+    )
+    return bits
+
+
+def _simhash_df(spark, sf_dir):
+    # Per-bit majority vote WITHOUT row explosion: 16 conditional sums
+    # in one hash aggregate (map-side partial), then recombine — the
+    # whole signature costs one shuffle on doc_id.
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    ).distinct()
+    h = F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long")
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(_SH_BITS):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+@query(
+    "q28_simhash_signatures",
+    _SH_TOK + f"SELECT doc_id, {_simhash_sql_expr()} AS simhash FROM th GROUP BY doc_id",
+)
+def q28(spark, sf_dir):
+    return _simhash_df(spark, sf_dir)
+
+
+@query(
+    "q29_simhash_near_dups",
+    _SH_TOK
+    + f"""
+    , sig AS (SELECT doc_id, {_simhash_sql_expr()} AS simhash FROM th GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, simhash, 0 AS band, simhash & 4095 AS key FROM sig
+      UNION ALL
+      SELECT doc_id, simhash, 1, (simhash >> 12) & 4095 FROM sig
+      UNION ALL
+      SELECT doc_id, simhash, 2, (simhash >> 24) & 4095 FROM sig
+      UNION ALL
+      SELECT doc_id, simhash, 3, (simhash >> 36) & 4095 FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 3
+    """,
+)
+def q29(spark, sf_dir):
+    # Banded SimHash LSH: two 8-bit bands bound the candidate join
+    # (collision prob 2^-8 per band vs all-pairs n^2); hamming distance
+    # verified with bit_count(xor) JVM-side.
+    sig = _simhash_df(spark, sf_dir)
+    bands = None
+    for i in range(4):
+        part = sig.select(
+            "doc_id", "simhash", F.lit(i).alias("band"),
+            F.shiftright("simhash", 12 * i).bitwiseAND(4095).alias("key"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).alias("hamming")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming,
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+# =====================================================================
+# Multimodal: binary media columns through the stubbed-codec kernels
+# (no DuckDB oracle — binary decode is not SQL-expressible; the driver
+# records the weaker rows-only check, full value checks live in
+# tests/test_multimodal.py)
+# =====================================================================
+
+@query("q30_media_features")
+def q30(spark, sf_dir):
+    """Image/audio/video fixture rows → decoded metadata via the
+    mapInPandas fake-codec kernels, aggregated per media_type. Sorted
+    deterministic output; the stub boundary (real PNG magic) surfaces
+    as error_rows=1."""
+    from .operators.multimodal import audio_features, frame_sample, image_meta
+    from .synth import media_to_spark, synth_media
+
+    media = media_to_spark(spark, synth_media(120, seed=42))
+    img = image_meta(media.filter(F.col("media_type") == "image")).agg(
+        F.lit("image").alias("media_type"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("error_rows"),
+        F.sum(F.when(F.col("error").isNull(), F.col("width") * F.col("height"))).alias(
+            "total_units"
+        ),
+    )
+    aud = audio_features(media.filter(F.col("media_type") == "audio")).agg(
+        F.lit("audio").alias("media_type"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("error_rows"),
+        F.sum(F.when(F.col("error").isNull(), F.col("duration_ms"))).alias(
+            "total_units"
+        ),
+    )
+    vid = frame_sample(media.filter(F.col("media_type") == "video"), every_k=5).agg(
+        F.lit("video").alias("media_type"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("error_rows"),
+        F.count(F.when(F.col("error").isNull(), 1)).alias("total_units"),
+    )
+    return img.unionAll(aud).unionAll(vid).orderBy("media_type")
+
+
+# =====================================================================
 # Flagship: the extraction pipeline itself, oracle-checked
 # =====================================================================
 

@@ -109,6 +109,18 @@ INVOICE_SCHEMA = T.StructType(
     ]
 )
 
+# Multimodal media rows: opaque binary payload + typed metadata
+# (reference MIME-typed uploads, cloud_client.py:269-311; media_ref
+# points into object storage at scale, fixtures inline the bytes).
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
 # F6: lineage / checkpoint records (SURVEY B15).
 LINEAGE_SCHEMA = T.StructType(
     [

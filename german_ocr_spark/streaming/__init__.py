@@ -1,0 +1,5 @@
+from .incremental import (  # noqa: F401
+    stream_dedup,
+    stream_extract,
+    stream_windowed_rates,
+)

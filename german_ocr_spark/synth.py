@@ -257,3 +257,49 @@ def docs_to_spark(spark, docs):
     from .schema import DOCUMENTS_SPANS_SCHEMA
 
     return spark.createDataFrame(docs, schema=DOCUMENTS_SPANS_SCHEMA)
+
+
+def synth_media(n_rows: int, seed: int = 42, edge_cases: bool = True):
+    """Deterministic multimodal fixture rows [(doc_id, media_ref,
+    media_type, content)] cycling through the fake image/audio/video
+    codecs (operators.multimodal), plus stub-boundary edge rows: a real
+    PNG magic (must raise the documented NotImplementedError into the
+    error column) and a truncated payload."""
+    from .operators.multimodal import (
+        encode_fake_audio,
+        encode_fake_image,
+        encode_fake_video,
+    )
+
+    rows = []
+    for i in range(n_rows):
+        rng = random.Random(seed * 7_000_003 + i)
+        doc_id = f"doc-{i:08d}"
+        ref = f"ref://{doc_id}/m"
+        if edge_cases and i == 1:
+            rows.append((doc_id, ref, "image", b"\x89PNG\r\n\x1a\nrest"))
+            continue
+        if edge_cases and i == 2:
+            rows.append((doc_id, ref, "image", b"FIMG\x05"))  # truncated
+            continue
+        kind = i % 3
+        if kind == 0:
+            w, h = rng.randint(8, 64), rng.randint(8, 64)
+            rows.append((doc_id, ref, "image", encode_fake_image(w, h, seed + i)))
+        elif kind == 1:
+            rows.append(
+                (doc_id, ref, "audio",
+                 encode_fake_audio(16000, rng.randint(100, 5000), seed + i))
+            )
+        else:
+            rows.append(
+                (doc_id, ref, "video",
+                 encode_fake_video(rng.randint(3, 30), 16, 16, seed + i))
+            )
+    return rows
+
+
+def media_to_spark(spark, media):
+    from .schema import MEDIA_SCHEMA
+
+    return spark.createDataFrame(media, schema=MEDIA_SCHEMA)

