@@ -70,7 +70,15 @@ def _xycut(idx: np.ndarray, x0, y0, x1, y1, depth: int) -> list[int]:
 def reading_order(blocks: pd.DataFrame) -> pd.DataFrame:
     """Block frame (span_idx, page, x0, y0, x1, y1, text) → same frame
     with an ``rank`` column: 0-based reading order within span
-    (pages in ascending order; XY-cut within page)."""
+    (pages in ascending order; XY-cut within page).
+
+    Implementation is one global lexsort + numpy group slicing. Pages
+    whose blocks are vertically disjoint (the overwhelmingly common
+    single-column case) take a pure-array fast path that is provably
+    identical to the XY-cut result: with disjoint y-intervals every
+    horizontal cut preserves y-order and the terminal fallback is the
+    same (y0, x0, idx) lexsort, so the sorted order IS the cut order.
+    Only genuinely overlapping layouts (multi-column) recurse."""
     if blocks.empty:
         out = blocks.copy()
         out["rank"] = pd.Series([], dtype="int64")
@@ -80,17 +88,40 @@ def reading_order(blocks: pd.DataFrame) -> pd.DataFrame:
     y0 = df["y0"].to_numpy(float)
     x1 = df["x1"].to_numpy(float)
     y1 = df["y1"].to_numpy(float)
+    span = df["span_idx"].to_numpy()
+    page = df["page"].to_numpy()
+    n = len(df)
 
-    rank = np.empty(len(df), dtype="int64")
-    for (_, _), g in df.groupby(["span_idx", "page"], sort=True):
-        idx = g.index.to_numpy()
-        ordered = _xycut(idx, x0, y0, x1, y1, 0)
-        rank[ordered] = np.arange(len(ordered))
-    df["rank"] = rank
-    # global order within span: (page, in-page rank)
-    df = df.sort_values(["span_idx", "page", "rank"], kind="mergesort")
-    df["rank"] = df.groupby("span_idx", sort=False).cumcount()
-    return df
+    idx0 = np.arange(n)
+    order0 = np.lexsort((idx0, x0, y0, page, span))
+    s_span, s_page = span[order0], page[order0]
+    s_y0, s_y1 = y0[order0], y1[order0]
+    change = (
+        np.flatnonzero((s_span[1:] != s_span[:-1]) | (s_page[1:] != s_page[:-1]))
+        + 1
+    )
+    bounds = np.concatenate(([0], change, [n]))
+
+    out_positions = np.empty(n, dtype=np.int64)
+    pos = 0
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        m = b1 - b0
+        seg = order0[b0:b1]
+        if m > 1:
+            gy0, gy1 = s_y0[b0:b1], s_y1[b0:b1]
+            if not np.all(gy0[1:] >= np.maximum.accumulate(gy1)[:-1]):
+                seg = np.asarray(_xycut(seg, x0, y0, x1, y1, 0), dtype=np.int64)
+        out_positions[pos : pos + m] = seg
+        pos += m
+
+    # per-span 0-based rank over the global (span, page, in-page) order
+    ospan = span[out_positions]
+    starts = np.flatnonzero(np.r_[True, ospan[1:] != ospan[:-1]])
+    counts = np.diff(np.r_[starts, n])
+    within = np.arange(n) - np.repeat(starts, counts)
+    out = df.take(out_positions)
+    out["rank"] = within
+    return out
 
 
 def extract_pdf_text(blocks: pd.DataFrame) -> pd.Series:

@@ -92,7 +92,15 @@ def run(
 
 
 def read_output(spark: SparkSession, output_dir: str) -> DataFrame:
-    """Extracted spans, shaped like operators.extract.EXTRACT_DDL."""
-    return spark.read.parquet(lin.data_path(output_dir)).select(
-        "doc_id", "order", "kind", "text", "media_ref", "error"
+    """Extracted spans, shaped like operators.extract.EXTRACT_DDL.
+
+    Reads ONLY committed buckets (manifest-pruned, like an Iceberg
+    snapshot read): the bucket_id filter becomes parquet partition
+    pruning, so orphan files from killed uncommitted writes are never
+    scanned."""
+    committed = sorted(lin.committed_buckets(spark, output_dir))
+    return (
+        spark.read.parquet(lin.data_path(output_dir))
+        .filter(F.col("bucket_id").isin(committed))
+        .select("doc_id", "order", "kind", "text", "media_ref", "error")
     )

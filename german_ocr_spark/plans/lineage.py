@@ -14,15 +14,20 @@ Output layout:
     <out>/data/bucket_id=<k>/*.parquet     extracted spans
     <out>/_lineage/*.parquet               lineage rows (append-only)
 
-Atomicity: data is written with dynamic partition overwrite (a killed
-job leaves staged files only; a re-run overwrites exactly its buckets),
-and a bucket only counts as committed once its lineage row exists —
-written strictly after the data job succeeds.
+Atomicity (manifest commit, the Iceberg snapshot model on plain
+parquet): the lineage row IS the commit point. Data files are written
+with append mode + task-side commits (no serial driver-side staging
+move — on a lazily-backed FS that move was the job's largest serial
+fraction); a killed job leaves orphan files in uncommitted bucket dirs,
+which (a) readers never see because every read prunes to committed
+buckets via the lineage table, and (b) the resuming run deletes before
+rewriting those buckets.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,6 +76,7 @@ def commit_bucket_group(
     buckets: list[int],
     snapshot_id: str,
     committed_at: str,
+    write_parallelism: int | None = None,
 ) -> None:
     """Write one bucket group's extracted spans, then its lineage rows.
 
@@ -78,17 +84,34 @@ def commit_bucket_group(
     only rows of ``buckets``.
     """
     # Cluster rows by bucket before the write: without this, every
-    # upstream (salted) task writes a sliver of every bucket —
-    # tasks × buckets tiny files, and the serial driver-side commit of
-    # that file count dwarfs the job at scale. One shuffle keyed on
-    # bucket_id bounds output to one file per bucket per shuffle
-    # partition (n_buckets is sized >> cores on a real cluster, so this
-    # loses no write parallelism).
-    extracted = extracted.repartition(max(len(buckets), 1), "bucket_id")
+    # upstream task writes a sliver of every bucket — tasks × buckets
+    # tiny files, and the serial driver-side commit of that file count
+    # dwarfs the job at scale. One shuffle keyed on (bucket_id, salt)
+    # bounds files to files_per_bucket per bucket while keeping the
+    # write as wide as the cluster (a bare bucket_id key would cap the
+    # write at len(buckets) tasks — fine when n_buckets >> cores, a 4x
+    # scaling-efficiency hole when it isn't).
+    if write_parallelism is None:
+        write_parallelism = int(spark.sparkContext.defaultParallelism) * 2
+    files_per_bucket = max(1, write_parallelism // max(len(buckets), 1))
+    extracted = extracted.repartition(
+        max(len(buckets) * files_per_bucket, 1),
+        "bucket_id",
+        F.pmod(F.xxhash64("doc_id", "order"), F.lit(files_per_bucket)),
+    )
+    # Clear orphans from any previous uncommitted attempt at these
+    # buckets, then append: with the lineage row as the commit marker,
+    # the write itself needs no atomic staging move. (Local-FS delete;
+    # a cluster deployment swaps in the Hadoop FileSystem API or an
+    # Iceberg overwrite — one call site.)
+    for b in buckets:
+        shutil.rmtree(
+            os.path.join(data_path(output_dir), f"bucket_id={b}"),
+            ignore_errors=True,
+        )
     (
-        extracted.write.mode("overwrite")
+        extracted.write.mode("append")
         .partitionBy("bucket_id")
-        .option("partitionOverwriteMode", "dynamic")
         .parquet(data_path(output_dir))
     )
     # Lineage stats are computed by reading BACK the committed files —

@@ -1227,6 +1227,87 @@ def q30(spark, sf_dir):
 
 
 # =====================================================================
+# Sinks / batch-output aggregation (A12-A14)
+# =====================================================================
+
+@query(
+    "q31_markdown_blocks",
+    f"""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           '=== ' || CAST(doc_id AS VARCHAR) || ' ===' || chr(10) ||
+           {german.normalize_sql('text')} || chr(10) ||
+           trim(regexp_replace(text, '\\s+', ' ', 'g')) AS block
+    FROM documents
+    """,
+)
+def q31(spark, sf_dir):
+    """A13: the CLI's '=== name ===' block concatenation (cli.py:90-93)
+    over the flagship pipeline's extracted spans — collect_list ordered
+    by the explicit order column, value-checked by recomputing both
+    kernels in SQL."""
+    from .operators.extract import extract_pipeline
+    from .sinks import markdown_blocks
+
+    d = load(spark, sf_dir, "documents")
+    docs = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("ocr").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit("  "), F.col("text"), F.lit(" \t")).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(10).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return markdown_blocks(extract_pipeline(docs))
+
+
+@query("q32_extract_html_pdf")
+def q32(spark, sf_dir):
+    """The HTML-boilerplate (B5) and XY-cut PDF (B6) kernels through the
+    full distributed pipeline over the deterministic synthetic corpus
+    (no DuckDB oracle — the kernels are vectorized pandas programs;
+    their value-level checks are the golden-fixture pytest suite). The
+    driver's rows-only check still exercises plan + kernels end-to-end."""
+    from .operators.extract import extract_pipeline
+    from .synth import synth_docs_distributed
+
+    docs = synth_docs_distributed(spark, 400, seed=42).filter(
+        F.exists("spans", lambda s: s["kind"].isin("html", "pdf"))
+    )
+    out = extract_pipeline(docs)
+    return (
+        out.filter(F.col("kind").isin("html", "pdf"))
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+                "error_rows"
+            ),
+            F.xxhash64(
+                F.concat_ws(
+                    "\x1f",
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat_ws("|", "doc_id", "order", "text")
+                        )
+                    ),
+                )
+            ).alias("content_hash"),
+        )
+        .orderBy("kind")
+    )
+
+
+# =====================================================================
 # Flagship: the extraction pipeline itself, oracle-checked
 # =====================================================================
 

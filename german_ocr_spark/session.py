@@ -62,6 +62,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Parquet scans: 128m splits — matches large-cluster defaults.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Task-side file commits (no serial driver-side rename pass).
+        # Safe here because the engine's durability marker is the
+        # lineage manifest row, written strictly after the data job
+        # (plans/lineage.py), not the committer's atomicity.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # Deterministic timestamps in oracle comparisons.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -57,6 +57,24 @@ def test_duckdb_parity():
     assert got == [normalize_text(x) for x in raw]
 
 
+def test_fused_kernel_equals_rule_chain_brute_force():
+    """The fused 5-pass normalize_series must equal the literal 17-pass
+    rule chain (normalize_text) on dense random corruption soup —
+    guards every fusion-equivalence argument in german.py."""
+    import random
+
+    alphabet = list("aefnsochABFNSOUdu ſß-\n\r\t") + ["ae", "oe", "ue", "Ae",
+                    "Ue", "fch", "nnd", "ſs", "-\n", "\r\n", "sch", "und"]
+    rng = random.Random(1234)
+    raws = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        for _ in range(3000)
+    ]
+    got = normalize_series(pd.Series(raws, dtype=object)).tolist()
+    want = [normalize_text(x) for x in raws]
+    assert got == want
+
+
 def test_spark_parity(spark):
     raw = [c[0] for c in CASES]
     df = spark.createDataFrame([(x,) for x in raw], "x string")

@@ -1,0 +1,61 @@
+"""Source (A1-A3) and sink (A12-A14) tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from german_ocr_spark.operators.extract import extract_pipeline
+from german_ocr_spark.sinks import markdown_blocks, result_json
+from german_ocr_spark.sources import read_media_dir, route_mime
+from german_ocr_spark.synth import docs_to_spark, synth_docs
+
+
+def test_read_media_dir_filters_sorts_and_routes(spark, tmp_path):
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "b.PNG").write_bytes(b"\x89PNG....")
+    (d / "a.jpg").write_bytes(b"\xff\xd8\xff..")
+    (d / "c.pdf").write_bytes(b"%PDF-1.4")
+    (d / "note.txt").write_bytes(b"not media")  # filtered out
+    (d / "empty.bmp").write_bytes(b"")  # dropped by the source listing
+
+    out = read_media_dir(spark, str(d)).toPandas()
+    names = [p.rsplit("/", 1)[-1] for p in out["path"]]
+    assert names == sorted(names)  # cli.py:29 sorted order
+    assert "note.txt" not in " ".join(names)
+    assert "empty.bmp" not in " ".join(names)  # binaryFile drops 0-byte files
+    by_name = out.set_index(out["path"].str.rsplit("/", n=1).str[-1])
+    assert by_name.loc["b.PNG", "mime"] == "image/png"  # case-insensitive ext
+    assert by_name.loc["a.jpg", "mime"] == "image/jpeg"
+    assert by_name.loc["c.pdf", "mime"] == "application/pdf"
+    assert by_name["valid"].all()
+
+
+def test_route_mime_unknown_is_null(spark):
+    df = spark.createDataFrame([("x/a.png",), ("x/b.exe",)], "path string")
+    got = df.select(route_mime(F.col("path")).alias("m")).collect()
+    assert got[0].m == "image/png" and got[1].m is None
+
+
+def test_markdown_blocks_order(spark):
+    docs = docs_to_spark(spark, synth_docs(30, seed=42))
+    blocks = markdown_blocks(extract_pipeline(docs)).toPandas()
+    # doc 4 has deliberately unsorted offsets; block must follow offset order
+    b4 = blocks.set_index("doc_id").loc["doc-00000004", "block"]
+    assert b4.startswith("=== doc-00000004 ===\n")
+    body = b4.split("===\n", 1)[1]
+    assert body.index("erster Teil") < body.index("zweiter Teil") < body.index(
+        "dritter Teil"
+    )
+
+
+def test_result_json_roundtrip(spark):
+    docs = docs_to_spark(spark, synth_docs(10, seed=42))
+    out = result_json(extract_pipeline(docs).limit(5))
+    import json
+
+    rows = out.collect()
+    assert len(rows) == 5
+    for r in rows:
+        payload = json.loads(r.result_json)
+        assert {"order", "kind"} <= set(payload)
