@@ -889,6 +889,65 @@ def q23(spark, sf_dir):
     )
 
 
+@query(
+    "q33_ivf_assign",
+    _EMB_DIMS_CTE
+    + """
+    , cents AS (SELECT vec_id AS cell, pos, v FROM dims WHERE vec_id < 16),
+    dists AS (
+      SELECT d.vec_id, c.cell,
+             CAST(SUM(CAST((d.v - c.v) * (d.v - c.v) AS DECIMAL(28,12))) AS DOUBLE)
+               AS d2
+      FROM dims d JOIN cents c ON c.pos = d.pos
+      WHERE d.vec_id >= 16
+      GROUP BY 1, 2
+    )
+    SELECT vec_id, cell,
+           (floor(sqrt(d2) * 1000000.0) / 1000000.0) AS dist
+    FROM (SELECT vec_id, cell, d2,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY d2 ASC, cell ASC) AS rn
+          FROM dists)
+    WHERE rn = 1
+    """,
+)
+def q33(spark, sf_dir):
+    # IVF coarse quantization: assign each vector to its nearest of 16
+    # deterministic centroids (vectors 0..15 as seeds). At 10^12 scale
+    # the centroid table is broadcast (a few KB) and assignment is one
+    # map-side pass + a per-vector argmin — the partitioning that lets
+    # ANN queries probe only their cell. Exact DECIMAL distance sums
+    # keep Spark and DuckDB bit-identical.
+    dims = _emb_dims(spark, sf_dir)
+    cents = dims.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), "pos", F.col("v").alias("cv")
+    )
+    d = dims.filter(F.col("vec_id") >= 16)
+    dists = (
+        d.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.sum(
+                ((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).cast(
+                    "decimal(28,12)"
+                )
+            )
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "cell",
+            (F.floor(F.sqrt("d2") * 1000000.0) / 1000000.0).alias("dist"),
+        )
+    )
+
+
 # =====================================================================
 # Span round-trip, multimodal metadata, MIME routing
 # =====================================================================
