@@ -94,13 +94,15 @@ def run(
 def read_output(spark: SparkSession, output_dir: str) -> DataFrame:
     """Extracted spans, shaped like operators.extract.EXTRACT_DDL.
 
-    Reads ONLY committed buckets (manifest-pruned, like an Iceberg
-    snapshot read): the bucket_id filter becomes parquet partition
-    pruning, so orphan files from killed uncommitted writes are never
-    scanned."""
-    committed = sorted(lin.committed_buckets(spark, output_dir))
-    return (
-        spark.read.parquet(lin.data_path(output_dir))
-        .filter(F.col("bucket_id").isin(committed))
-        .select("doc_id", "order", "kind", "text", "media_ref", "error")
+    Manifest-resolved read (the Iceberg snapshot-read model): the scan
+    is given exactly the data files referenced by committed lineage
+    rows, so orphan files from killed uncommitted writes are invisible
+    without any cleanup pass."""
+    files = lin.committed_files(spark, output_dir)
+    if not files:
+        from .schema import EXTRACTED_SPAN_SCHEMA
+
+        return spark.createDataFrame([], schema=EXTRACTED_SPAN_SCHEMA)
+    return spark.read.parquet(*files).select(
+        "doc_id", "order", "kind", "text", "media_ref", "error"
     )

@@ -11,23 +11,22 @@ maps to lineage ``status``; ``current_page/total_pages`` progress maps to
 committed-bucket counts.
 
 Output layout:
-    <out>/data/bucket_id=<k>/*.parquet     extracted spans
+    <out>/data/*.parquet                   extracted spans (flat files)
     <out>/_lineage/*.parquet               lineage rows (append-only)
 
-Atomicity (manifest commit, the Iceberg snapshot model on plain
-parquet): the lineage row IS the commit point. Data files are written
-with append mode + task-side commits (no serial driver-side staging
-move — on a lazily-backed FS that move was the job's largest serial
-fraction); a killed job leaves orphan files in uncommitted bucket dirs,
-which (a) readers never see because every read prunes to committed
-buckets via the lineage table, and (b) the resuming run deletes before
-rewriting those buckets.
+Atomicity (file-manifest commit — the Iceberg model on plain parquet):
+the lineage row IS the commit point and carries the exact list of data
+files its commit group wrote. Readers resolve committed data by
+unioning those file lists — never by listing the directory — so a
+killed job's orphan files are simply invisible, no cleanup or staging
+move needed, and the data write itself requires NO shuffle or
+partitioned layout: map tasks append files directly. ``vacuum`` deletes
+unreferenced files opportunistically.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,6 +68,45 @@ def read_lineage(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path(output_dir))
 
 
+def _list_data_files(output_dir: str) -> set[str]:
+    d = data_path(output_dir)
+    try:
+        return {
+            n for n in os.listdir(d) if n.endswith(".parquet")
+        }
+    except FileNotFoundError:
+        return set()
+
+
+def committed_files(spark: SparkSession, output_dir: str) -> list[str]:
+    """Union of data files referenced by committed lineage rows — the
+    manifest-resolved view of the table (orphans invisible)."""
+    try:
+        lin = read_lineage(spark, output_dir)
+    except Exception:
+        return []
+    rows = (
+        lin.filter(F.col("status") == "committed")
+        .select(F.explode("files").alias("f"))
+        .distinct()
+        .collect()
+    )
+    d = data_path(output_dir)
+    return sorted(os.path.join(d, r.f) for r in rows)
+
+
+def vacuum(spark: SparkSession, output_dir: str) -> list[str]:
+    """Delete data files not referenced by any committed lineage row
+    (orphans from killed uncommitted writes). Safe any time: readers
+    only ever see manifest-referenced files."""
+    referenced = {os.path.basename(f) for f in committed_files(spark, output_dir)}
+    removed = []
+    for n in _list_data_files(output_dir) - referenced:
+        os.remove(os.path.join(data_path(output_dir), n))
+        removed.append(n)
+    return sorted(removed)
+
+
 def commit_bucket_group(
     spark: SparkSession,
     extracted: DataFrame,
@@ -76,62 +114,39 @@ def commit_bucket_group(
     buckets: list[int],
     snapshot_id: str,
     committed_at: str,
-    write_parallelism: int | None = None,
 ) -> None:
     """Write one bucket group's extracted spans, then its lineage rows.
 
     ``extracted`` must already carry a ``bucket_id`` column and contain
-    only rows of ``buckets``.
+    only rows of ``buckets``. The write is shuffle-free: map tasks
+    append flat files; the before/after listing diff is the file set
+    this group committed. (On a multi-writer object store the listing
+    diff would be replaced by collecting task-committed file names; one
+    call site.)
     """
-    # Cluster rows by bucket before the write: without this, every
-    # upstream task writes a sliver of every bucket — tasks × buckets
-    # tiny files, and the serial driver-side commit of that file count
-    # dwarfs the job at scale. One shuffle keyed on (bucket_id, salt)
-    # bounds files to files_per_bucket per bucket while keeping the
-    # write as wide as the cluster (a bare bucket_id key would cap the
-    # write at len(buckets) tasks — fine when n_buckets >> cores, a 4x
-    # scaling-efficiency hole when it isn't).
-    if write_parallelism is None:
-        write_parallelism = int(spark.sparkContext.defaultParallelism) * 2
-    files_per_bucket = max(1, write_parallelism // max(len(buckets), 1))
-    extracted = extracted.repartition(
-        max(len(buckets) * files_per_bucket, 1),
-        "bucket_id",
-        F.pmod(F.xxhash64("doc_id", "order"), F.lit(files_per_bucket)),
-    )
-    # Clear orphans from any previous uncommitted attempt at these
-    # buckets, then append: with the lineage row as the commit marker,
-    # the write itself needs no atomic staging move. (Local-FS delete;
-    # a cluster deployment swaps in the Hadoop FileSystem API or an
-    # Iceberg overwrite — one call site.)
-    for b in buckets:
-        shutil.rmtree(
-            os.path.join(data_path(output_dir), f"bucket_id={b}"),
-            ignore_errors=True,
+    before = _list_data_files(output_dir)
+    extracted.write.mode("append").parquet(data_path(output_dir))
+    new_files = sorted(_list_data_files(output_dir) - before)
+
+    # Lineage stats are computed by reading BACK exactly the files this
+    # group wrote — a column-pruned scan that doubles as a readability
+    # check; no persist of the full extract is needed.
+    d = data_path(output_dir)
+    stats_rows: list = []
+    if new_files:
+        written = spark.read.parquet(*[os.path.join(d, f) for f in new_files])
+        stats_rows = (
+            written.groupBy("bucket_id")
+            .agg(
+                F.countDistinct("doc_id").alias("doc_count"),
+                F.count("*").alias("span_count"),
+                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+                    "error_count"
+                ),
+            )
+            .collect()
         )
-    (
-        extracted.write.mode("append")
-        .partitionBy("bucket_id")
-        .parquet(data_path(output_dir))
-    )
-    # Lineage stats are computed by reading BACK the committed files —
-    # one column-pruned scan that doubles as a readability check; no
-    # persist of the full extract is needed.
-    written = spark.read.parquet(data_path(output_dir)).filter(
-        F.col("bucket_id").isin(buckets)
-    )
-    stats = (
-        written.groupBy("bucket_id")
-        .agg(
-            F.countDistinct("doc_id").alias("doc_count"),
-            F.count("*").alias("span_count"),
-            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
-                "error_count"
-            ),
-        )
-        .collect()
-    )
-    by_bucket = {r.bucket_id: r for r in stats}
+    by_bucket = {r.bucket_id: r for r in stats_rows}
     rows = [
         (
             snapshot_id,
@@ -141,6 +156,7 @@ def commit_bucket_group(
             int(by_bucket[b].error_count) if b in by_bucket else 0,
             "committed",
             committed_at,
+            new_files,
         )
         for b in buckets
     ]

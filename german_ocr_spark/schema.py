@@ -131,5 +131,9 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("error_count", T.LongType(), True),
         T.StructField("status", T.StringType(), True),
         T.StructField("committed_at", T.StringType(), True),
+        # data files written by this bucket's commit group (file-manifest
+        # commits: readers resolve committed data by unioning these
+        # lists, Iceberg-manifest style — never by listing the dir)
+        T.StructField("files", T.ArrayType(T.StringType()), True),
     ]
 )

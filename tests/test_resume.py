@@ -76,6 +76,38 @@ def test_rerun_noop(spark, docs, tmp_path):
     assert res2.buckets_processed == 0 and res2.buckets_skipped == 4
 
 
+def test_orphan_files_invisible_and_vacuumable(spark, docs, tmp_path):
+    """A killed uncommitted write leaves orphan data files; manifest-
+    resolved reads must not see them and vacuum must delete exactly
+    them."""
+    import os
+
+    out = str(tmp_path / "out")
+    sdf = docs_to_spark(spark, docs)
+    pipeline.run(spark, sdf, out, n_buckets=4)
+    want = _sorted_pdf(pipeline.read_output(spark, out))
+
+    # simulate a killed job: a data file written but never committed
+    orphan = os.path.join(lin.data_path(out), "part-orphan.parquet")
+    extract_pipeline(sdf.limit(3)).withColumn(
+        "bucket_id", lin.bucket_col(4)
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    staged = next(
+        f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet")
+    )
+    os.rename(str(tmp_path / "stage" / staged), orphan)
+
+    got = _sorted_pdf(pipeline.read_output(spark, out))
+    pd.testing.assert_frame_equal(got, want)  # orphan invisible
+
+    removed = lin.vacuum(spark, out)
+    assert removed == ["part-orphan.parquet"]
+    assert not os.path.exists(orphan)
+    # committed data untouched
+    got2 = _sorted_pdf(pipeline.read_output(spark, out))
+    pd.testing.assert_frame_equal(got2, want)
+
+
 def test_partitioning_invariance(spark, docs):
     """Same input at wildly different parallelism/salting → bitwise-equal
     sorted output (stand-in for N vs 4N executors; the process-level

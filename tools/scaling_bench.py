@@ -131,7 +131,7 @@ def output_hash(path: str) -> tuple[int, str]:
                  doc_id || '|' || "order" || '|' || kind || '|' || text
                         || '|' || media_ref || '|' || coalesce(error, '<null>'),
                  chr(10) ORDER BY doc_id, "order"))
-        FROM '{path}/data/*/*.parquet'
+        FROM '{path}/data/*.parquet'
         """
     ).fetchone()
     return int(n), h
