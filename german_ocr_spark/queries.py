@@ -1259,7 +1259,11 @@ def q30(spark, sf_dir):
     from .operators.multimodal import audio_features, frame_sample, image_meta
     from .synth import media_to_spark, synth_media
 
-    media = media_to_spark(spark, synth_media(120, seed=42))
+    # 120 fixture rows don't need 32 partitions: coalesce so the three
+    # kernel branches don't each fan out one Python worker per empty
+    # partition (at real scale the media table arrives pre-partitioned
+    # from storage and this narrow coalesce is a no-op decision).
+    media = media_to_spark(spark, synth_media(120, seed=42)).coalesce(4)
     img = image_meta(media.filter(F.col("media_type") == "image")).agg(
         F.lit("image").alias("media_type"),
         F.count("*").alias("n_rows"),
@@ -1363,6 +1367,189 @@ def q32(spark, sf_dir):
             ).alias("content_hash"),
         )
         .orderBy("kind")
+    )
+
+
+# =====================================================================
+# Embedding-cosine near-dup DEDUP (distinct from q21/q22 similarity
+# search: threshold pairs inside LSH buckets → canonical-keeper
+# assignment, the actual "drop these rows" decision a training-data
+# pipeline executes)
+# =====================================================================
+
+@query(
+    "q34_embedding_near_dup",
+    _EMB_DIMS_CTE
+    + ","
+    + _SIGN_BUCKET_SQL
+    + """
+    , dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(SUM(CAST(da.v * db.v AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      FROM buckets a JOIN buckets b
+           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      JOIN dims da ON da.vec_id = a.vec_id
+      JOIN dims db ON db.vec_id = b.vec_id AND db.pos = da.pos
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT vec_a, vec_b,
+             (floor(dot / (na.nrm * nb.nrm) * 1000000.0) / 1000000.0) AS cos_sim
+      FROM dots JOIN norms na ON na.vec_id = vec_a
+                JOIN norms nb ON nb.vec_id = vec_b
+      WHERE (floor(dot / (na.nrm * nb.nrm) * 1000000.0) / 1000000.0) >= 0.30
+    )
+    SELECT vec_b AS dup_id, MIN(vec_a) AS keeper,
+           COUNT(*) AS n_matches, MAX(cos_sim) AS best_cos
+    FROM pairs GROUP BY vec_b
+    """,
+)
+def q34(spark, sf_dir):
+    # Embedding-cosine near-dup dedup: sign-LSH buckets bound the pair
+    # space (bucket equi-join, never all-pairs), exact cosine confirms,
+    # then each vector whose similarity to a LOWER-id bucket-mate
+    # clears the threshold is marked a duplicate of the smallest such
+    # keeper — the deterministic drop-list. At 10^12 scale the bucket
+    # join shuffles only on the bucket key and AQE splits hot buckets;
+    # generalizes the reference's batch result aggregation
+    # (german_ocr/cli.py:83-93) into corpus-level curation.
+    dims = _emb_dims(spark, sf_dir)
+    norms = _emb_norms(dims)
+    buckets = _sign_buckets(dims)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    da = dims.alias("da")
+    db = dims.alias("db")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .join(da, F.col("da.vec_id") == F.col("a.vec_id"))
+        .join(
+            db,
+            (F.col("db.vec_id") == F.col("b.vec_id"))
+            & (F.col("db.pos") == F.col("da.pos")),
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .agg(
+            F.sum((F.col("da.v") * F.col("db.v")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.alias("na")
+    nb = norms.alias("nb")
+    cos = (
+        F.floor(F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm")) * 1000000.0)
+        / 1000000.0
+    )
+    pairs = (
+        dots.join(na, F.col("na.vec_id") == F.col("vec_a"))
+        .join(nb, F.col("nb.vec_id") == F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.30)
+    )
+    return pairs.groupBy(F.col("vec_b").alias("dup_id")).agg(
+        F.min("vec_a").alias("keeper"),
+        F.count("*").alias("n_matches"),
+        F.max("cos_sim").alias("best_cos"),
+    )
+
+
+# =====================================================================
+# BPE-ish regex tokenization + rolling-hash winnowing fingerprints
+# (text-analysis family: the task brief's "whitespace + a BPE-ish
+# regex" token counter and "document fingerprinting (rolling hash)")
+# =====================================================================
+
+# GPT-2-style pretokenizer, simplified to the dialect subset Java regex
+# and RE2 evaluate identically: letter runs (with German umlauts/ß),
+# digit runs, and punctuation runs, each with an optional leading space.
+_BPE_PAT = r" ?[A-Za-zÄÖÜäöüß]+| ?[0-9]+| ?[^A-Za-z0-9ÄÖÜäöüß\s]+"
+
+
+@query(
+    "q35_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           {textstats.token_count_sql('text')} AS n_ws_tokens,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(regexp_extract_all(text,
+                  ' ?[A-Za-zÄÖÜäöüß]+| ?[0-9]+| ?[^A-Za-z0-9ÄÖÜäöüß\\s]+'))
+           END AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q35(spark, sf_dir):
+    # Token counting two ways: whitespace split and a BPE-ish
+    # pretokenizer regex (GPT-2-family pattern restricted to the
+    # Java/RE2-identical subset). Both are single-pass JVM codegen
+    # expressions — zero shuffle, zero Python; at 100 TB this is the
+    # map-only per-document token budget pass before packing.
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_bpe = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(t, F.lit(_BPE_PAT), F.lit(0)))
+    )
+    return d.select(
+        "doc_id",
+        textstats.token_count_col(t).alias("n_ws_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "q36_winnow_fingerprint",
+    r"""
+    WITH canon AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS c
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(length(c) - 7, 1)),
+               i -> md5(substring(c, CAST(i AS INTEGER), 8))) AS hs
+      FROM canon
+    ), wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(hs) - 3, 1)),
+               j -> list_min(hs[CAST(j AS INTEGER):CAST(j + 3 AS INTEGER)]))) AS fps
+      FROM grams
+    )
+    SELECT doc_id, length(fps) AS n_fps, list_min(fps) AS min_fp FROM wins
+    """,
+)
+def q36(spark, sf_dir):
+    # Rolling-hash winnowing fingerprints (Schleimer/Wilkerson/Aiken
+    # MOSS scheme): char 8-gram hashes → min-hash per sliding window of
+    # 4 → distinct mins are the document's fingerprint set. Computed
+    # ENTIRELY in-row with higher-order array functions (sequence /
+    # transform / slice / array_min) — a map-only, zero-shuffle,
+    # zero-Python plan that scales linearly with executors; the
+    # fingerprint set then feeds the same groupBy dedup as q17.
+    d = load(spark, sf_dir, "documents")
+    canon = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    grams = d.select("doc_id", canon.alias("c")).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, greatest(length(c) - 7, 1)),"
+            " i -> md5(substring(c, i, 8)))"
+        ).alias("hs"),
+    )
+    wins = grams.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1)),"
+            " j -> array_min(slice(hs, j, 4))))"
+        ).alias("fps"),
+    )
+    return wins.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
     )
 
 
