@@ -1342,7 +1342,11 @@ def q32(spark, sf_dir):
     from .operators.extract import extract_pipeline
     from .synth import synth_docs_distributed
 
-    docs = synth_docs_distributed(spark, 400, seed=42).filter(
+    # 400 fixture docs: size the generation partitioning to the data
+    # (default 2x-parallelism partitioning exists for real corpora; at
+    # 6 docs/partition the per-task Python/Arrow overhead would dwarf
+    # the kernels ~60:1).
+    docs = synth_docs_distributed(spark, 400, seed=42, n_partitions=8).filter(
         F.exists("spans", lambda s: s["kind"].isin("html", "pdf"))
     )
     out = extract_pipeline(docs)
