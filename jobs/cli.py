@@ -1,0 +1,151 @@
+"""Reference-CLI-parity spark job: the ``german-ocr`` argument surface
+(``german_ocr/cli.py:106-244``) re-expressed as a distributed batch job.
+
+Mapping (reference → here):
+  ``german-ocr --batch images/``         → ``--batch`` + binaryFile scan of a
+                                           media directory (sources.read_media_dir,
+                                           sorted, extension allow-list)
+  ``german-ocr corpus`` (span table)     → read_span_table (parquet / iceberg:)
+  ``--format markdown|json|text``        → sinks.markdown_blocks / result_json /
+                                           plain text column (cli.py:83-99)
+  ``--structured``                       → operators.structured.structured_extract
+                                           (typed ExtractionResult rows,
+                                           extractor.py:163-223)
+  ``--output``                           → distributed write (A14); never a
+                                           driver-side collect
+  ``--list-kernels``                     → analogue of ``--list-models`` (A21):
+                                           prints the span-kind kernel registry
+
+The model backends themselves are the stubbed boundary (no model server
+in this environment): media-dir rows flow through the pipeline as
+``image``/``pdf`` spans with empty text, exactly the plumbing a
+production deployment points at its OCR kernel.
+
+Usage:
+    python jobs/cli.py --batch /data/images --format markdown --output /out
+    python jobs/cli.py /data/spans.parquet --format json --structured --output /out
+    spark-submit --py-files german_ocr_spark.zip jobs/cli.py ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# running as `python jobs/cli.py` puts jobs/ (not the repo root) on
+# sys.path; under spark-submit --py-files the zip provides the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FORMATS = ("markdown", "json", "text")
+
+
+def build_docs_from_media_dir(spark, directory: str):
+    """Media directory → (doc_id, spans) docs: one single-span document
+    per file, span kind routed by MIME family (pdf → 'pdf', images →
+    'image'), matching the reference's one-image-one-result unit
+    (ocr.py:196-232)."""
+    from pyspark.sql import functions as F
+
+    from german_ocr_spark.sources import read_media_dir
+
+    media = read_media_dir(spark, directory)
+    kind = F.when(F.col("mime") == "application/pdf", F.lit("pdf")).otherwise(
+        F.lit("image")
+    )
+    return media.filter(F.col("valid")).select(
+        F.col("path").alias("doc_id"),
+        F.array(
+            F.struct(
+                kind.alias("kind"),
+                F.lit("").alias("text"),
+                F.col("media_ref").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
+def main(argv: list[str] | None = None, stop: bool = True) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("input", nargs="?", help="span table path, or media dir with --batch")
+    p.add_argument("--batch", action="store_true",
+                   help="treat input as a directory of media files (cli.py --batch)")
+    p.add_argument("--format", choices=FORMATS, default="markdown",
+                   help="output shape (default: markdown blocks)")
+    p.add_argument("--structured", action="store_true",
+                   help="parse span text as typed ExtractionResult rows")
+    p.add_argument("--output", help="output directory (distributed write)")
+    p.add_argument("--cores", default=None, help="local[N] (ignored under spark-submit)")
+    p.add_argument("--list-kernels", action="store_true",
+                   help="list span-kind kernels and exit (--list-models analogue)")
+    args = p.parse_args(argv)
+
+    if args.list_kernels:
+        from german_ocr_spark.schema import SPAN_KINDS
+
+        for k in SPAN_KINDS:
+            print(k)
+        return 0
+    if not args.input or not args.output:
+        p.error("input and --output are required unless --list-kernels")
+
+    from pyspark.sql import functions as F
+
+    from german_ocr_spark.operators.extract import extract_pipeline, reassemble
+    from german_ocr_spark.operators.structured import structured_extract
+    from german_ocr_spark.session import get_spark
+    from german_ocr_spark.sinks import markdown_blocks, result_json, write_sink
+    from german_ocr_spark.sources import read_span_table
+
+    spark = get_spark(cores=args.cores, app_name="german-ocr-cli")
+    docs = (
+        build_docs_from_media_dir(spark, args.input)
+        if args.batch
+        else read_span_table(spark, args.input)
+    )
+    extracted = extract_pipeline(docs)
+
+    if args.structured:
+        # per-document text (ordered spans joined) → typed parse; the
+        # reference's DocumentExtractor path (extractor.py:163-223)
+        per_doc = reassemble(extracted).select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.col("spans"), lambda s: s.text), "\n"
+            ).alias("raw_response"),
+            "span_count",
+            "error_count",
+        )
+        out = structured_extract(per_doc)
+        written_fmt = "parquet" if args.format == "markdown" else "json"
+        write_sink(
+            result_json(out) if args.format == "json" else out,
+            args.output,
+            written_fmt,
+        )
+    elif args.format == "markdown":
+        written_fmt = "text"
+        write_sink(markdown_blocks(extracted).select("block"), args.output, "text")
+    elif args.format == "json":
+        written_fmt = "json"
+        write_sink(result_json(extracted), args.output, "json")
+    else:  # text: one line per span, document/order prefixed for dedup-safe cat
+        written_fmt = "text"
+        write_sink(
+            extracted.select(
+                F.concat_ws("\t", "doc_id", F.col("order").cast("string"), "text")
+                .alias("line")
+            ),
+            args.output,
+            "text",
+        )
+    n = spark.read.format(written_fmt).load(args.output).count()
+    print(f"wrote {n} rows to {args.output}")
+    if stop:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

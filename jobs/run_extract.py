@@ -18,7 +18,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# running as `python jobs/run_extract.py` puts jobs/ (not the repo
+# root) on sys.path; under spark-submit --py-files the zip provides it
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -1,0 +1,91 @@
+"""Reference-CLI-parity job (jobs/cli.py): the german-ocr argument
+surface (cli.py:106-244) driven end to end over both input modes."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+
+from german_ocr_spark.operators.multimodal import encode_fake_image
+from german_ocr_spark.synth import docs_to_spark, synth_docs
+
+
+@pytest.fixture(scope="module")
+def span_table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli") / "spans.parquet")
+    docs_to_spark(spark, synth_docs(40, seed=7)).write.parquet(path)
+    return path
+
+
+def _run_cli(argv):
+    import cli as cli_job
+
+    return cli_job.main(argv, stop=False)
+
+
+def test_list_kernels(capsys):
+    assert _run_cli(["--list-kernels"]) == 0
+    out = capsys.readouterr().out.split()
+    assert set(out) == {"text", "html", "pdf", "ocr", "image"}
+
+
+def test_markdown_output(spark, span_table, tmp_path):
+    out = str(tmp_path / "md")
+    assert _run_cli([span_table, "--format", "markdown", "--output", out]) == 0
+    lines = [r.value for r in spark.read.text(out).collect()]
+    # one '=== doc ===' header per document with >=1 span (empty-span
+    # docs contribute no output rows; they are tracked by lineage)
+    n_nonempty = sum(1 for _, spans in synth_docs(40, seed=7) if spans)
+    assert sum(1 for ln in lines if ln.startswith("=== ")) == n_nonempty
+
+
+def test_json_output(spark, span_table, tmp_path):
+    out = str(tmp_path / "js")
+    assert _run_cli([span_table, "--format", "json", "--output", out]) == 0
+    rows = spark.read.json(out)
+    assert set(rows.columns) == {"doc_id", "result_json"}
+    payload = json.loads(rows.limit(1).collect()[0]["result_json"])
+    assert {"order", "kind", "text"} <= set(payload)
+
+
+def test_structured_output(spark, tmp_path):
+    # span text that parses as a typed invoice payload (extractor.py:19-29)
+    inv = json.dumps(
+        {"type": "invoice", "invoice_number": "R-1001",
+         "totals": {"gross": 119.0}}
+    )
+    docs = docs_to_spark(
+        spark, [("doc-json", [("ocr", inv, "", 0)]), ("doc-bad", [("ocr", "not json", "", 0)])]
+    )
+    src = str(tmp_path / "src.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "structured")
+    assert _run_cli([src, "--structured", "--format", "json", "--output", out]) == 0
+    rows = spark.read.json(out)
+    got = {
+        r["doc_id"]: json.loads(r["result_json"]) for r in rows.collect()
+    }
+    assert got["doc-json"]["success"] is True
+    assert got["doc-json"]["doc_type"] == "invoice"
+    assert got["doc-bad"]["success"] is False
+    assert got["doc-bad"]["error"] == "failed to parse JSON"
+
+
+def test_batch_media_dir(spark, tmp_path):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "b.png").write_bytes(encode_fake_image(4, 4, seed=1))
+    (d / "a.jpg").write_bytes(encode_fake_image(4, 4, seed=2))
+    (d / "skip.txt").write_bytes(b"not media")
+    out = str(tmp_path / "batch")
+    assert _run_cli(["--batch", str(d), "--format", "text", "--output", out]) == 0
+    lines = [r.value for r in spark.read.text(out).collect()]
+    # 2 allowed media files -> one image span each; .txt rejected by
+    # the extension allow-list (cloud_client.py:281-297 semantics)
+    assert len(lines) == 2
+    assert all("\t0\t" in ln for ln in lines)
