@@ -626,14 +626,20 @@ def q20(spark, sf_dir):
     # the bucket-join replaces all-pairs comparison (shuffle key =
     # (band, sig); bucket sizes bound the join fan-out).
     mh = _minhash_df(spark, sf_dir)
-    bands = None
-    for band in range(3):
-        part = mh.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.concat_ws(":", f"mh{2*band}", f"mh{2*band+1}").alias("sig"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    # all 3 bands in ONE pass over the signatures: posexplode of an
+    # in-row array (pos IS the band id) instead of a 3-way union that
+    # would re-read the aggregated-signature subtree per band
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(":", f"mh{2 * band}", f"mh{2 * band + 1}")
+                    for band in range(3)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -668,23 +674,44 @@ _EMB_DIMS_CTE = """
 """
 
 
-def _emb_dims(spark, sf_dir):
-    e = load(spark, sf_dir, "embeddings")
-    return e.select(
-        "vec_id",
-        F.posexplode(F.col("embedding")).alias("pos0", "v_raw"),
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.col("v_raw").cast("double").alias("v"),
+# In-row exact arithmetic over embedding arrays — the Spark-side scale
+# path. The oracle SQL keeps the relational dims-explosion formulation;
+# value parity holds because both sum the SAME per-element
+# DECIMAL(28,12) products exactly (decimal addition is associative and
+# exact, so in-row left fold == SQL SUM over exploded rows).
+def _fold_dec(arr):
+    """Exact sum of a decimal(28,12) array via left fold."""
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("decimal(28,12)"),
+        lambda acc, x: (acc + x).cast("decimal(28,12)"),
+    ).cast("double")
+
+
+def _dot_dec(a, b):
+    """Exact dot product of two float arrays (decimal accumulation)."""
+    return _fold_dec(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (
+                x.cast("double") * y.cast("double")
+            ).cast("decimal(28,12)"),
+        )
     )
 
 
-def _emb_norms(dims):
-    return dims.groupBy("vec_id").agg(
-        F.sqrt(
-            F.sum((F.col("v") * F.col("v")).cast("decimal(28,12)")).cast("double")
-        ).alias("nrm")
+def _nrm_dec(a):
+    return F.sqrt(_dot_dec(a, a))
+
+
+def _sign_bucket_expr(col_name: str = "embedding"):
+    """Sign-LSH bucket from the first 8 dims, in-row (matches
+    _SIGN_BUCKET_SQL: sum of 2^(pos-1) where v >= 0)."""
+    return F.expr(
+        f"aggregate(transform(slice({col_name}, 1, 8),"
+        " (x, i) -> IF(CAST(x AS DOUBLE) >= 0,"
+        " CAST(pow(2, i) AS BIGINT), 0L)), 0L, (a, b) -> a + b)"
     )
 
 
@@ -713,41 +740,32 @@ def _emb_norms(dims):
 )
 def q21(spark, sf_dir):
     # Brute-force cosine top-k — the correctness baseline for ANN.
-    # At scale the dims explosion becomes a zipped join on (pos) with
-    # the query side broadcast (5 vecs); here expressed relationally so
-    # DuckDB can replay it exactly.
-    dims = _emb_dims(spark, sf_dir)
-    norms = _emb_norms(dims)
-    q = dims.filter(F.col("vec_id") < 5).alias("q")
-    c = dims.alias("c")
-    dots = (
-        F.broadcast(q)
-        .join(
-            c,
-            (F.col("q.pos") == F.col("c.pos"))
-            & (F.col("c.vec_id") != F.col("q.vec_id")),
-        )
-        .groupBy(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-        )
-        .agg(
-            F.sum((F.col("q.v") * F.col("c.v")).cast("decimal(28,12)"))
-            .cast("double")
-            .alias("dot")
-        )
+    # Spark-first scale shape: the 5 query vectors are BROADCAST with
+    # their arrays intact and every dot product is computed IN-ROW
+    # (zip_with + exact decimal fold) — one map-side pass over the
+    # corpus, no dims explosion, no join on pos, no re-aggregation.
+    # The oracle replays the same arithmetic relationally in DuckDB.
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _nrm_dec(F.col("embedding")).alias("q_nrm"),
     )
-    nq = norms.alias("nq")
-    nc = norms.alias("nc")
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _nrm_dec(F.col("embedding")).alias("c_nrm"),
+    )
     cos = (
         F.floor(
-            F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm")) * 1000000.0
+            _dot_dec(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_nrm") * F.col("c_nrm"))
+            * 1000000.0
         )
         / 1000000.0
     )
     scored = (
-        dots.join(nq, F.col("nq.vec_id") == F.col("query_id"))
-        .join(nc, F.col("nc.vec_id") == F.col("neighbor_id"))
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cos.alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -766,18 +784,37 @@ _SIGN_BUCKET_SQL = """
 """
 
 
-def _sign_buckets(dims):
-    # sign-LSH: bucket id from the sign bits of the first 8 dims — the
-    # deterministic, SQL-replayable stand-in for random-hyperplane LSH.
+def _bucketed_cos_pairs(spark, sf_dir):
+    """Shared scale path for q22/q34: sign-LSH bucket equi-join with
+    the embedding arrays carried in-row; cosine computed per pair with
+    zip_with + exact decimal fold. ONE shuffle (the bucket join key);
+    no dims explosion, no pos-join, no per-pair re-aggregation."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _sign_bucket_expr().alias("bucket"),
+        _nrm_dec(F.col("embedding")).alias("nrm"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = (
+        F.floor(
+            _dot_dec(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+            * 1000000.0
+        )
+        / 1000000.0
+    )
     return (
-        dims.filter(F.col("pos") <= 8)
-        .groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("v") >= 0, F.pow(F.lit(2), F.col("pos") - 1).cast("long")
-                ).otherwise(F.lit(0))
-            ).alias("bucket")
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
         )
     )
 
@@ -818,44 +855,7 @@ def q22(spark, sf_dir):
     # is computed only within buckets (bucket equi-join), then each
     # vector keeps its best in-bucket neighbor — the near-dup candidate
     # list at 10^12 scale (bucket join ≪ all-pairs).
-    dims = _emb_dims(spark, sf_dir)
-    norms = _emb_norms(dims)
-    buckets = _sign_buckets(dims)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    da = dims.alias("da")
-    db = dims.alias("db")
-    dots = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .join(da, F.col("da.vec_id") == F.col("a.vec_id"))
-        .join(
-            db,
-            (F.col("db.vec_id") == F.col("b.vec_id"))
-            & (F.col("db.pos") == F.col("da.pos")),
-        )
-        .groupBy(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .agg(
-            F.sum((F.col("da.v") * F.col("db.v")).cast("decimal(28,12)"))
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    na = norms.alias("na")
-    nb = norms.alias("nb")
-    scored = (
-        dots.join(na, F.col("na.vec_id") == F.col("vec_a"))
-        .join(nb, F.col("nb.vec_id") == F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            (
-                F.floor(
-                    F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm")) * 1000000.0
-                )
-                / 1000000.0
-            ).alias("cos_sim"),
-        )
-    )
+    scored = _bucketed_cos_pairs(spark, sf_dir)
     ranked = scored.select(
         F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("nn_id"), "cos_sim"
     ).unionAll(
@@ -882,10 +882,13 @@ def q22(spark, sf_dir):
 )
 def q23(spark, sf_dir):
     # Bucket-size histogram: the skew diagnostic for the ANN path (a
-    # hot bucket is exactly the salting trigger at scale).
-    dims = _emb_dims(spark, sf_dir)
-    return _sign_buckets(dims).groupBy("bucket").agg(
-        F.count("*").alias("n_vectors")
+    # hot bucket is exactly the salting trigger at scale). Bucket ids
+    # computed in-row — one map pass + one tiny groupBy.
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select(_sign_bucket_expr().alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
     )
 
 
@@ -913,29 +916,28 @@ def q23(spark, sf_dir):
 )
 def q33(spark, sf_dir):
     # IVF coarse quantization: assign each vector to its nearest of 16
-    # deterministic centroids (vectors 0..15 as seeds). At 10^12 scale
-    # the centroid table is broadcast (a few KB) and assignment is one
-    # map-side pass + a per-vector argmin — the partitioning that lets
-    # ANN queries probe only their cell. Exact DECIMAL distance sums
-    # keep Spark and DuckDB bit-identical.
-    dims = _emb_dims(spark, sf_dir)
-    cents = dims.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cell"), "pos", F.col("v").alias("cv")
+    # deterministic centroids (vectors 0..15 as seeds). The centroid
+    # table is BROADCAST (a few KB) with arrays intact; each corpus row
+    # computes its 16 squared distances IN-ROW (zip_with + exact
+    # decimal fold) and the per-vector argmin is a window over 16 rows
+    # — one map-side pass, no dims explosion, no pos-join, no
+    # re-aggregation. Exact DECIMAL sums keep Spark == DuckDB.
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
-    d = dims.filter(F.col("vec_id") >= 16)
-    dists = (
-        d.join(F.broadcast(cents), "pos")
-        .groupBy("vec_id", "cell")
-        .agg(
-            F.sum(
-                ((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).cast(
-                    "decimal(28,12)"
-                )
-            )
-            .cast("double")
-            .alias("d2")
+    d = e.filter(F.col("vec_id") >= 16)
+    d2 = _fold_dec(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("c_emb"),
+            lambda x, y: (
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+            ).cast("decimal(28,12)"),
         )
     )
+    dists = d.join(F.broadcast(cents)).select("vec_id", "cell", d2.alias("d2"))
     w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
     return (
         dists.withColumn("rn", F.row_number().over(w))
@@ -1214,13 +1216,20 @@ def q29(spark, sf_dir):
     # (collision prob 2^-8 per band vs all-pairs n^2); hamming distance
     # verified with bit_count(xor) JVM-side.
     sig = _simhash_df(spark, sf_dir)
-    bands = None
-    for i in range(4):
-        part = sig.select(
-            "doc_id", "simhash", F.lit(i).alias("band"),
-            F.shiftright("simhash", 12 * i).bitwiseAND(4095).alias("key"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    # all 4 bands in ONE pass (posexplode of an in-row key array; pos
+    # IS the band id) — no 4-way union re-reading the signature subtree
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 12 * i).bitwiseAND(4095).cast("long")
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "key"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     hamming = F.bit_count(
@@ -1409,51 +1418,14 @@ def q32(spark, sf_dir):
 )
 def q34(spark, sf_dir):
     # Embedding-cosine near-dup dedup: sign-LSH buckets bound the pair
-    # space (bucket equi-join, never all-pairs), exact cosine confirms,
-    # then each vector whose similarity to a LOWER-id bucket-mate
-    # clears the threshold is marked a duplicate of the smallest such
-    # keeper — the deterministic drop-list. At 10^12 scale the bucket
-    # join shuffles only on the bucket key and AQE splits hot buckets;
-    # generalizes the reference's batch result aggregation
-    # (german_ocr/cli.py:83-93) into corpus-level curation.
-    dims = _emb_dims(spark, sf_dir)
-    norms = _emb_norms(dims)
-    buckets = _sign_buckets(dims)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    da = dims.alias("da")
-    db = dims.alias("db")
-    dots = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .join(da, F.col("da.vec_id") == F.col("a.vec_id"))
-        .join(
-            db,
-            (F.col("db.vec_id") == F.col("b.vec_id"))
-            & (F.col("db.pos") == F.col("da.pos")),
-        )
-        .groupBy(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .agg(
-            F.sum((F.col("da.v") * F.col("db.v")).cast("decimal(28,12)"))
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    na = norms.alias("na")
-    nb = norms.alias("nb")
-    cos = (
-        F.floor(F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm")) * 1000000.0)
-        / 1000000.0
-    )
-    pairs = (
-        dots.join(na, F.col("na.vec_id") == F.col("vec_a"))
-        .join(nb, F.col("nb.vec_id") == F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.30)
-    )
+    # space (bucket equi-join, never all-pairs), exact in-row cosine
+    # confirms, then each vector whose similarity to a LOWER-id
+    # bucket-mate clears the threshold is marked a duplicate of the
+    # smallest such keeper — the deterministic drop-list. At 10^12
+    # scale the bucket join shuffles only on the bucket key and AQE
+    # splits hot buckets; generalizes the reference's batch result
+    # aggregation (german_ocr/cli.py:83-93) into corpus-level curation.
+    pairs = _bucketed_cos_pairs(spark, sf_dir).filter(F.col("cos_sim") >= 0.30)
     return pairs.groupBy(F.col("vec_b").alias("dup_id")).agg(
         F.min("vec_a").alias("keeper"),
         F.count("*").alias("n_matches"),
