@@ -124,36 +124,39 @@ def commit_bucket_group(
     diff would be replaced by collecting task-committed file names; one
     call site.)
     """
-    before = _list_data_files(output_dir)
-    extracted.write.mode("append").parquet(data_path(output_dir))
-    new_files = sorted(_list_data_files(output_dir) - before)
+    from pyspark.sql import Observation
 
-    # Lineage stats are computed by reading BACK exactly the files this
-    # group wrote — a column-pruned scan that doubles as a readability
-    # check; no persist of the full extract is needed.
-    d = data_path(output_dir)
-    stats_rows: list = []
-    if new_files:
-        written = spark.read.parquet(*[os.path.join(d, f) for f in new_files])
-        stats_rows = (
-            written.groupBy("bucket_id")
-            .agg(
-                F.countDistinct("doc_id").alias("doc_count"),
-                F.count("*").alias("span_count"),
-                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
-                    "error_count"
-                ),
-            )
-            .collect()
-        )
-    by_bucket = {r.bucket_id: r for r in stats_rows}
+    # Lineage stats ride on the write action itself (Observation
+    # metrics accumulate during the single pass — no second read-back
+    # scan of the written data). doc_count = spans with order 0: every
+    # document with >=1 span emits exactly one order-0 span, so this
+    # equals countDistinct(doc_id) while staying observe-legal.
+    obs = Observation()
+    metric_cols = []
+    for b in buckets:
+        in_b = F.col("bucket_id") == b
+        metric_cols += [
+            F.sum(F.when(in_b & (F.col("order") == 0), 1).otherwise(0)).alias(
+                f"d{b}"
+            ),
+            F.sum(F.when(in_b, 1).otherwise(0)).alias(f"s{b}"),
+            F.sum(
+                F.when(in_b & F.col("error").isNotNull(), 1).otherwise(0)
+            ).alias(f"e{b}"),
+        ]
+    before = _list_data_files(output_dir)
+    extracted.observe(obs, *metric_cols).write.mode("append").parquet(
+        data_path(output_dir)
+    )
+    new_files = sorted(_list_data_files(output_dir) - before)
+    stats = obs.get
     rows = [
         (
             snapshot_id,
             int(b),
-            int(by_bucket[b].doc_count) if b in by_bucket else 0,
-            int(by_bucket[b].span_count) if b in by_bucket else 0,
-            int(by_bucket[b].error_count) if b in by_bucket else 0,
+            int(stats[f"d{b}"] or 0),
+            int(stats[f"s{b}"] or 0),
+            int(stats[f"e{b}"] or 0),
             "committed",
             committed_at,
             new_files,
