@@ -1530,6 +1530,85 @@ def q36(spark, sf_dir):
 
 
 # =====================================================================
+# Streaming surface in the driver contract: the windowed-rates
+# transformation value-checked in batch mode (identical semantics),
+# plus a real availableNow streaming run (rows-only)
+# =====================================================================
+
+@query(
+    "q37_windowed_rates",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                    '%Y-%m-%d %H:%M:%S') AS win_end,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q37(spark, sf_dir):
+    # The streaming windowed-rates transformation (watermark + tumbling
+    # event-time window, streaming/incremental.py) run on the batch
+    # events table — Structured Streaming transformations are plan
+    # fragments, so the SAME function runs under readStream (see
+    # q38 / tests/test_streaming.py) and here, where DuckDB can
+    # value-check it: 1-hour tumbling windows == date_trunc('hour').
+    from .streaming.incremental import windowed_rates
+
+    ev = load(spark, sf_dir, "events")
+    r = windowed_rates(ev, watermark="30 minutes", window="1 hour")
+    return r.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        F.date_format("win_end", "yyyy-MM-dd HH:mm:ss").alias("win_end"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@query("q38_stream_extract")
+def q38(spark, sf_dir):
+    """A real Structured Streaming run of the extraction pipeline:
+    availableNow trigger over a synthesized parquet drop directory,
+    exactly-once per file via the checkpoint, append-mode parquet sink
+    (no DuckDB oracle — streaming execution is not SQL-replayable; the
+    batch-equality and resume value checks live in
+    tests/test_streaming.py). Deterministic: fresh checkpoint + input
+    per invocation, per-kind summary with a content hash."""
+    import shutil
+
+    from .streaming.incremental import stream_extract
+    from .synth import synth_docs_distributed
+
+    base = "/tmp/german_ocr_spark_q38"
+    shutil.rmtree(base, ignore_errors=True)
+    inp, out, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+    synth_docs_distributed(spark, 300, seed=11, n_partitions=6).write.parquet(inp)
+    q = stream_extract(spark, inp, out, ck, available_now=True)
+    q.awaitTermination(300)
+    ex = spark.read.parquet(out)
+    return (
+        ex.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+                "error_rows"
+            ),
+            F.xxhash64(
+                F.concat_ws(
+                    "\x1f",
+                    F.sort_array(
+                        F.collect_list(F.concat_ws("|", "doc_id", "order", "text"))
+                    ),
+                )
+            ).alias("content_hash"),
+        )
+        .orderBy("kind")
+    )
+
+
+# =====================================================================
 # Flagship: the extraction pipeline itself, oracle-checked
 # =====================================================================
 
