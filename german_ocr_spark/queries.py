@@ -451,6 +451,57 @@ def q16(spark, sf_dir):
 
 
 @query(
+    "q39_curation_report",
+    f"""
+    WITH scored AS (
+      SELECT source, lang,
+             {textstats.quality_score_sql('text')} AS q,
+             {textstats.langid_sql('text')} AS lang_guess,
+             {textstats.token_count_sql('text')} AS toks
+      FROM documents
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN q >= 0.5 AND lang_guess = lang THEN 1 ELSE 0 END)
+             AS n_keep,
+           SUM(CASE WHEN q >= 0.5 AND lang_guess = lang THEN 0 ELSE 1 END)
+             AS n_drop,
+           (floor(AVG(q) * 1000000.0) / 1000000.0) AS avg_quality,
+           SUM(CASE WHEN q >= 0.5 AND lang_guess = lang THEN toks ELSE 0 END)
+             AS kept_tokens
+    FROM scored GROUP BY source, lang
+    """,
+)
+def q39(spark, sf_dir):
+    # The corpus-curation decision a training-data pipeline executes:
+    # score every document (quality composite + language agreement),
+    # decide keep/drop, report per (source, lang) with the surviving
+    # token budget. One map pass (all scoring is JVM codegen) + one
+    # small groupBy — at 100 TB the scan dominates and the report is
+    # a few hundred rows.
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    q = textstats.quality_score_col(t)
+    keep = (q >= 0.5) & (textstats.langid_col(t) == F.col("lang"))
+    scored = d.select(
+        "source",
+        "lang",
+        q.alias("q"),
+        keep.alias("keep"),
+        textstats.token_count_col(t).alias("toks"),
+    )
+    return scored.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_drop"),
+        _floor6(F.avg("q")).alias("avg_quality"),
+        F.sum(F.when(F.col("keep"), F.col("toks")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+    )
+
+
+@query(
     "q17_exact_dedup",
     f"""
     SELECT {textstats.fingerprint_sql('text')} AS fp,
