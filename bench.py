@@ -81,6 +81,9 @@ def main() -> None:
                 "cpus": cpus,
                 "extract_docs_per_sec": docs_per_sec,
                 "n_queries": len(timings),
+                # two-cluster-size evidence (N vs 4N cores, pinned,
+                # min-of-4 steady state): tools/scaling_bench.py
+                "scaling_evidence": "BENCH_SCALING.md",
             }
         )
     )
