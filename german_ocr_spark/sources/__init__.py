@@ -3,4 +3,5 @@ from .files import (  # noqa: F401
     read_media_dir,
     read_span_table,
     route_mime,
+    write_bucketed,
 )
