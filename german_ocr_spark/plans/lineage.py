@@ -118,7 +118,12 @@ def commit_bucket_group(
     """Write one bucket group's extracted spans, then its lineage rows.
 
     ``extracted`` must already carry a ``bucket_id`` column and contain
-    only rows of ``buckets``. The write is shuffle-free: map tasks
+    only rows of ``buckets``, and must include each document's
+    complete span set — per-bucket ``doc_count`` is measured as the
+    number of ``order == 0`` rows (one per non-empty document), so
+    committing a projection that filters out order-0 spans would
+    undercount documents (span/error counts stay exact either way).
+    The write is shuffle-free: map tasks
     append flat files; the before/after listing diff is the file set
     this group committed. (On a multi-writer object store the listing
     diff would be replaced by collecting task-committed file names; one

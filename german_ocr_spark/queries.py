@@ -731,9 +731,14 @@ _EMB_DIMS_CTE = """
 # DECIMAL(28,12) products exactly (decimal addition is associative and
 # exact, so in-row left fold == SQL SUM over exploded rows).
 def _fold_dec(arr):
-    """Exact sum of a decimal(28,12) array via left fold."""
+    """Exact sum of a decimal(28,12) array via left fold.
+
+    Null elements are dropped before folding: zip_with pads unequal-
+    length arrays with nulls, and a null product would otherwise poison
+    the whole sum — dropping them matches the oracles' relational form
+    (an inner join on pos sums only the shared positions)."""
     return F.aggregate(
-        arr,
+        F.filter(arr, lambda x: x.isNotNull()),
         F.lit(0).cast("decimal(28,12)"),
         lambda acc, x: (acc + x).cast("decimal(28,12)"),
     ).cast("double")
@@ -1627,17 +1632,33 @@ def q38(spark, sf_dir):
     tests/test_streaming.py). Deterministic: fresh checkpoint + input
     per invocation, per-kind summary with a content hash."""
     import shutil
+    import tempfile
 
     from .streaming.incremental import stream_extract
     from .synth import synth_docs_distributed
 
-    base = "/tmp/german_ocr_spark_q38"
-    shutil.rmtree(base, ignore_errors=True)
+    # unique workspace per invocation: concurrent callers (bench +
+    # validator) must not rmtree each other's live checkpoints
+    base = tempfile.mkdtemp(prefix="german_ocr_spark_q38_")
     inp, out, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
-    synth_docs_distributed(spark, 300, seed=11, n_partitions=6).write.parquet(inp)
-    q = stream_extract(spark, inp, out, ck, available_now=True)
-    q.awaitTermination(300)
-    ex = spark.read.parquet(out)
+    try:
+        synth_docs_distributed(spark, 300, seed=11, n_partitions=6).write.parquet(
+            inp
+        )
+        q = stream_extract(spark, inp, out, ck, available_now=True)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q38 stream did not drain within 300s")
+        ex = spark.read.parquet(out)
+        summary = _q38_summary(ex)
+        # materialize before deleting the workspace the plan reads from
+        rows = summary.collect()
+        return spark.createDataFrame(rows, schema=summary.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _q38_summary(ex: DataFrame) -> DataFrame:
     return (
         ex.groupBy("kind")
         .agg(

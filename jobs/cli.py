@@ -106,6 +106,16 @@ def main(argv: list[str] | None = None, stop: bool = True) -> int:
     )
     extracted = extract_pipeline(docs)
 
+    from pyspark.sql import Observation
+
+    obs = Observation()
+
+    def observed(df):
+        # row count rides on the write action itself — no read-back
+        # scan, and for markdown the count is BLOCKS (documents), not
+        # the lines a text re-read would count
+        return df.observe(obs, F.count(F.lit(1)).alias("n"))
+
     if args.structured:
         # per-document text (ordered spans joined) → typed parse; the
         # reference's DocumentExtractor path (extractor.py:163-223)
@@ -118,29 +128,29 @@ def main(argv: list[str] | None = None, stop: bool = True) -> int:
             "error_count",
         )
         out = structured_extract(per_doc)
-        written_fmt = "parquet" if args.format == "markdown" else "json"
         write_sink(
-            result_json(out) if args.format == "json" else out,
+            observed(result_json(out) if args.format == "json" else out),
             args.output,
-            written_fmt,
+            "parquet" if args.format == "markdown" else "json",
         )
     elif args.format == "markdown":
-        written_fmt = "text"
-        write_sink(markdown_blocks(extracted).select("block"), args.output, "text")
-    elif args.format == "json":
-        written_fmt = "json"
-        write_sink(result_json(extracted), args.output, "json")
-    else:  # text: one line per span, document/order prefixed for dedup-safe cat
-        written_fmt = "text"
         write_sink(
-            extracted.select(
-                F.concat_ws("\t", "doc_id", F.col("order").cast("string"), "text")
-                .alias("line")
+            observed(markdown_blocks(extracted).select("block")), args.output, "text"
+        )
+    elif args.format == "json":
+        write_sink(observed(result_json(extracted)), args.output, "json")
+    else:  # text: one line per span, document/order prefixed for dedup-safe cat
+        write_sink(
+            observed(
+                extracted.select(
+                    F.concat_ws("\t", "doc_id", F.col("order").cast("string"), "text")
+                    .alias("line")
+                )
             ),
             args.output,
             "text",
         )
-    n = spark.read.format(written_fmt).load(args.output).count()
+    n = int(obs.get["n"] or 0)
     print(f"wrote {n} rows to {args.output}")
     if stop:
         spark.stop()

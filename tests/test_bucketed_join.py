@@ -14,10 +14,10 @@ from german_ocr_spark.sources import write_bucketed
 
 
 def _exchanges(df) -> int:
+    # \bExchange\b cannot match inside "ReusedExchange" ('d' before 'E'
+    # is a word char), so the raw count is already reuse-free
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return len(re.findall(r"\bExchange\b", plan)) - len(
-        re.findall(r"ReusedExchange", plan)
-    )
+    return len(re.findall(r"\bExchange\b", plan))
 
 
 @pytest.fixture()

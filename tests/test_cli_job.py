@@ -3,16 +3,23 @@ surface (cli.py:106-244) driven end to end over both input modes."""
 
 from __future__ import annotations
 
+import importlib.util
 import json
 import os
-import sys
 
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
-
 from german_ocr_spark.operators.multimodal import encode_fake_image
 from german_ocr_spark.synth import docs_to_spark, synth_docs
+
+# load jobs/cli.py by explicit path — no sys.path insertion, no risk of
+# shadowing some other module named "cli" for the rest of the session
+_spec = importlib.util.spec_from_file_location(
+    "german_ocr_cli_job",
+    os.path.join(os.path.dirname(__file__), "..", "jobs", "cli.py"),
+)
+cli_job = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(cli_job)
 
 
 @pytest.fixture(scope="module")
@@ -23,8 +30,6 @@ def span_table(spark, tmp_path_factory):
 
 
 def _run_cli(argv):
-    import cli as cli_job
-
     return cli_job.main(argv, stop=False)
 
 
