@@ -539,25 +539,29 @@ _SHINGLE_CTE = """
 
 
 def _shingles(spark, sf_dir):
-    """Distinct word-3-gram shingles per doc: (doc_id, sh). NULL-propagating
-    concat mirrors the SQL `||` so trailing partial shingles drop."""
+    """Distinct word-3-gram shingles per doc: (doc_id, sh).
+
+    Built IN-ROW (transform over the token array) — the tokens of one
+    document never leave their row, so there is no explode+window
+    shuffle over the full token stream (at 100 TB that shuffle would
+    move the entire corpus once just to see each token's two
+    neighbors). Matches the SQL oracle's lead()-based formulation:
+    i in [1, n_tokens-2] yields exactly the windows whose trailing
+    partials the NULL-propagating `||` drops."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+    sh_arr = F.expr(
+        "CASE WHEN size(toks) >= 3 THEN "
+        "transform(sequence(1, size(toks) - 2),"
+        " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])) "
+        "ELSE array() END"
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = toks.select(
-        "doc_id",
-        F.concat(
-            F.col("tok"),
-            F.lit(" "),
-            F.lead("tok", 1).over(w),
-            F.lit(" "),
-            F.lead("tok", 2).over(w),
-        ).alias("sh"),
-    ).filter(F.col("sh").isNotNull())
-    return sh.distinct()
+    return (
+        d.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.split(F.trim("text"), r"\s+").alias("toks"),
+        )
+        .select("doc_id", F.explode(F.array_distinct(sh_arr)).alias("sh"))
+    )
 
 
 @query(
@@ -1214,28 +1218,27 @@ def _simhash_sql_expr() -> str:
 
 
 def _simhash_df(spark, sf_dir):
-    # Per-bit majority vote WITHOUT row explosion: 16 conditional sums
-    # in one hash aggregate (map-side partial), then recombine — the
-    # whole signature costs one shuffle on doc_id.
+    # The whole signature IN-ROW, zero shuffles: a document's distinct
+    # tokens (array_distinct — one row, so per-doc distinct needs no
+    # global distinct shuffle) hash to an in-row long array; each bit's
+    # majority vote is a size(filter(...)) over that array. q28 becomes
+    # a pure map-only plan; q29 shuffles only at the band self-join.
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
-    ).distinct()
-    h = F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long")
-    sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(_SH_BITS)
-        ]
+    toks = F.array_distinct(F.split(F.trim("text"), r"\s+"))
+    hs = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long")
     )
+    df = d.select(F.col("doc_id").cast("string").alias("doc_id"), hs.alias("hs"))
     sig = None
+    n = F.size("hs")
     for b in range(_SH_BITS):
-        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        ones = F.size(
+            F.filter("hs", lambda h: F.shiftright(h, b).bitwiseAND(1) == 1)
+        )
+        # majority of (+1 per set bit, -1 per clear bit) >= 0  ⇔  2*ones >= n
+        term = F.when(ones * 2 >= n, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    return sums.select("doc_id", sig.cast("long").alias("simhash"))
+    return df.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 @query(
