@@ -69,6 +69,11 @@ def get_spark(
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # Deterministic timestamps in oracle comparisons.
         .config("spark.sql.session.timeZone", "UTC")
+        # zstd: ~33% smaller span parquet than snappy AND faster to
+        # write (measured 6.9s vs 8.0s for 1.25M spans at 32 cores) —
+        # at object-storage scale the byte reduction also cuts every
+        # downstream scan
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # progress bar writes \r-terminated lines that interleave with
