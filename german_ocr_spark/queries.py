@@ -329,7 +329,8 @@ def q09(spark, sf_dir):
 @query(
     "q10_rollup_docs",
     """
-    SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY ROLLUP (lang, source)
     """,
 )
@@ -380,7 +381,8 @@ def q12(spark, sf_dir):
     """
     SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+               AS k_sum
     FROM events GROUP BY 1
     """,
 )
@@ -462,13 +464,13 @@ def q16(spark, sf_dir):
     )
     SELECT source, lang,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN q >= 0.5 AND lang_guess = lang THEN 1 ELSE 0 END)
-             AS n_keep,
-           SUM(CASE WHEN q >= 0.5 AND lang_guess = lang THEN 0 ELSE 1 END)
-             AS n_drop,
+           CAST(SUM(CASE WHEN q >= 0.5 AND lang_guess = lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN q >= 0.5 AND lang_guess = lang
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_drop,
            (floor(AVG(q) * 1000000.0) / 1000000.0) AS avg_quality,
-           SUM(CASE WHEN q >= 0.5 AND lang_guess = lang THEN toks ELSE 0 END)
-             AS kept_tokens
+           CAST(SUM(CASE WHEN q >= 0.5 AND lang_guess = lang
+                         THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens
     FROM scored GROUP BY source, lang
     """,
 )
@@ -837,8 +839,8 @@ def q21(spark, sf_dir):
 _SIGN_BUCKET_SQL = """
     buckets AS (
       SELECT vec_id,
-             SUM(CASE WHEN v >= 0 THEN CAST(pow(2, pos - 1) AS BIGINT) ELSE 0 END)
-               AS bucket
+             CAST(SUM(CASE WHEN v >= 0 THEN CAST(pow(2, pos - 1) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS bucket
       FROM dims WHERE pos <= 8 GROUP BY vec_id
     )
 """
@@ -1051,17 +1053,26 @@ def q24(spark, sf_dir):
     "q25_media_bytes",
     """
     SELECT source, COUNT(*) AS n_docs,
-           SUM(octet_length(encode(text))) AS total_bytes
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(SUM(length(to_base64(encode(text)))) AS BIGINT) AS total_b64_chars
     FROM documents GROUP BY source
     """,
 )
 def q25(spark, sf_dir):
     # Multimodal plumbing: opaque binary payloads carry typed metadata;
     # byte-length accounting per source (binary column exercised JVM-side).
+    # A8 (base64 payload encode, reference ollama_backend.py:98-101) is
+    # exercised via the built-in F.base64. Spark 4.x emits MIME-chunked
+    # base64 (CRLF every 76 chars) while DuckDB's to_base64 is unchunked
+    # RFC-4648, so strip the chunk markers before measuring — the
+    # unchunked length is the cross-engine invariant.
     d = load(spark, sf_dir, "documents")
+    raw = F.encode("text", "UTF-8")
+    b64 = F.regexp_replace(F.base64(raw), "[\\r\\n]", "")
     return d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.length(F.encode("text", "UTF-8"))).alias("total_bytes"),
+        F.sum(F.length(raw)).alias("total_bytes"),
+        F.sum(F.length(b64)).alias("total_b64_chars"),
     )
 
 

@@ -40,6 +40,18 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | None:
         return f"columns differ: spark={list(a.columns)} duck={list(b.columns)}"
     if len(a) != len(b):
         return f"row count differs: spark={len(a)} duck={len(b)}"
+    # Driver-strictness: the driver's value hash distinguishes 4523 from
+    # 4523.0, so an int-vs-float dtype divergence (classic cause: DuckDB
+    # SUM(int) -> HUGEINT -> float64 while Spark returns int64) must FAIL
+    # here even when the values are numerically identical. Fix the oracle
+    # with CAST(SUM(...) AS BIGINT), never loosen this check.
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka != kb:
+            return (
+                f"dtype kind differs on '{c}': spark={spark_pdf[c].dtype} "
+                f"duck={duck_pdf[c].dtype} (driver hash would mismatch)"
+            )
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
     except AssertionError as e:
