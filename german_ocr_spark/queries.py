@@ -525,7 +525,8 @@ def q17(spark, sf_dir):
 # (training-data dedup family; SURVEY Part B + task brief)
 # =====================================================================
 
-# Shared shingle CTE (DuckDB): word 3-grams via aligned unnest + lead().
+# Shared shingle CTE (DuckDB): word 3-grams via aligned unnest + lead(),
+# hashed to the same 48-bit int64 the Spark side computes in-row.
 _SHINGLE_CTE = """
     WITH tok AS (
       SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -536,12 +537,25 @@ _SHINGLE_CTE = """
       SELECT doc_id,
              tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS sh
       FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-    ), shd AS (SELECT DISTINCT doc_id, sh FROM sh WHERE sh IS NOT NULL)
+    ), hsh AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 12))::BIGINT AS shh
+      FROM sh WHERE sh IS NOT NULL)
 """
+
+# Document-frequency cap for the shingle inverted index (q18): a shingle
+# appearing in more than this many documents is a stop-phrase carrying no
+# dedup signal, and its join fan-out is O(df^2) pairs — at 10^6 docs a
+# single "der die das" key would emit 10^12 pairs that AQE can spread but
+# never shrink. The cap bounds per-shingle pair output to
+# CAP*(CAP-1)/2 (~2k pairs at 64). Sizing rule: keep CAP well below
+# sqrt(total_pair_budget / n_distinct_hot_shingles); 64 is a standard
+# production choice (cf. suffix-array/minhash dedup pipelines) and at
+# 100 TB it makes the pair stage linear in corpus size.
+Q18_SHINGLE_DF_CAP = 64
 
 
 def _shingles(spark, sf_dir):
-    """Distinct word-3-gram shingles per doc: (doc_id, sh).
+    """Distinct hashed word-3-gram shingles per doc: (doc_id, shh:int64).
 
     Built IN-ROW (transform over the token array) — the tokens of one
     document never leave their row, so there is no explode+window
@@ -549,12 +563,23 @@ def _shingles(spark, sf_dir):
     move the entire corpus once just to see each token's two
     neighbors). Matches the SQL oracle's lead()-based formulation:
     i in [1, n_tokens-2] yields exactly the windows whose trailing
-    partials the NULL-propagating `||` drops."""
+    partials the NULL-propagating `||` drops.
+
+    Shingles are hashed to 48-bit int64 (md5 prefix) BEFORE the explode,
+    so every downstream shuffle (df counting, inverted-index groupBy,
+    MinHash groupBy) moves 8-byte keys instead of ~25-byte strings.
+    Dedup happens on the hashed value in-row (array_distinct), which the
+    oracle mirrors with DISTINCT over the same md5-prefix expression —
+    a 48-bit in-doc collision merges the same shingles on both engines.
+    MinHash is unaffected either way: min over a multiset ignores
+    duplicates."""
     d = load(spark, sf_dir, "documents")
     sh_arr = F.expr(
         "CASE WHEN size(toks) >= 3 THEN "
-        "transform(sequence(1, size(toks) - 2),"
-        " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])) "
+        "array_distinct(transform(sequence(1, size(toks) - 2),"
+        " i -> cast(conv(substring(md5("
+        "concat_ws(' ', toks[i-1], toks[i], toks[i+1])), 1, 12), 16, 10)"
+        " as bigint))) "
         "ELSE array() END"
     )
     return (
@@ -562,18 +587,23 @@ def _shingles(spark, sf_dir):
             F.col("doc_id").cast("string").alias("doc_id"),
             F.split(F.trim("text"), r"\s+").alias("toks"),
         )
-        .select("doc_id", F.explode(F.array_distinct(sh_arr)).alias("sh"))
+        .select("doc_id", F.explode(sh_arr).alias("shh"))
     )
 
 
 @query(
     "q18_ngram_jaccard_pairs",
     _SHINGLE_CTE
-    + """
-    , sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shd GROUP BY doc_id),
+    + f"""
+    , groups AS (
+      SELECT shh, COUNT(*) AS df FROM hsh GROUP BY shh
+      HAVING COUNT(*) <= {Q18_SHINGLE_DF_CAP}
+    ),
+    capped AS (SELECT h.doc_id, h.shh FROM hsh h JOIN groups USING (shh)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.shh = b.shh AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -585,18 +615,34 @@ def _shingles(spark, sf_dir):
     """,
 )
 def q18(spark, sf_dir):
-    # Candidate pairs come from an equi-join on the shingle itself —
-    # Catalyst shuffles both sides by `sh`, which is exactly the
-    # shingle-inverted-index plan; no O(n^2) pair enumeration.
-    shd = _shingles(spark, sf_dir)
-    sizes = shd.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = shd.alias("a")
-    b = shd.alias("b")
+    # Shingle inverted index with a document-frequency cap: postings are
+    # grouped BY SHINGLE, lists longer than Q18_SHINGLE_DF_CAP (stop
+    # phrases) are dropped, and candidate pairs are generated IN-ROW
+    # from each surviving (sorted) posting list — so per-shingle pair
+    # output is hard-bounded at CAP*(CAP-1)/2 and the whole pair stage
+    # is linear in corpus size. Jaccard is then computed over the capped
+    # shingle universe (sizes count only df<=CAP shingles), which the
+    # oracle mirrors exactly. No O(n^2) pair enumeration anywhere.
+    posts = _shingles(spark, sf_dir)
+    groups = posts.groupBy("shh").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    ).filter(F.size("ds") <= Q18_SHINGLE_DF_CAP)
+    sizes = (
+        groups.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    # ds is sorted, so j<i gives doc_a < doc_b with no post-filter.
+    pair_arr = F.expr(
+        "flatten(transform(sequence(1, size(ds) - 1),"
+        " i -> transform(sequence(0, i - 1),"
+        " j -> struct(ds[j] AS doc_a, ds[i] AS doc_b))))"
+    )
     pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        groups.filter(F.size("ds") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.alias("sa")
@@ -628,8 +674,10 @@ _MH_COEF = ((2, 1), (3, 7), (5, 11), (7, 19), (11, 23), (13, 31))
 
 
 def _minhash_df(spark, sf_dir):
+    # Operates on the 48-bit hashed shingles from _shingles — min over a
+    # multiset is dedup-insensitive, so hashed-value dedup changes nothing.
     shd = _shingles(spark, sf_dir)
-    x = F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("long") % F.lit(_MH_P)
+    x = F.col("shh") % F.lit(_MH_P)
     aggs = [
         F.min((F.lit(a) * x + F.lit(b)) % F.lit(_MH_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(_MH_COEF)
@@ -638,7 +686,7 @@ def _minhash_df(spark, sf_dir):
 
 
 def _minhash_sql_cols() -> str:
-    x = f"(('0x' || substr(md5(sh), 1, 12))::BIGINT % {_MH_P})"
+    x = f"(shh % {_MH_P})"
     return ", ".join(
         f"MIN(({a} * {x} + {b}) % {_MH_P}) AS mh{i}"
         for i, (a, b) in enumerate(_MH_COEF)
@@ -650,7 +698,7 @@ def _minhash_sql_cols() -> str:
     _SHINGLE_CTE
     + f"""
     SELECT doc_id, {_minhash_sql_cols()}
-    FROM shd GROUP BY doc_id
+    FROM hsh GROUP BY doc_id
     """,
 )
 def q19(spark, sf_dir):
@@ -663,7 +711,7 @@ def q19(spark, sf_dir):
     "q20_lsh_candidate_pairs",
     _SHINGLE_CTE
     + f"""
-    , mh AS (SELECT doc_id, {_minhash_sql_cols()} FROM shd GROUP BY doc_id),
+    , mh AS (SELECT doc_id, {_minhash_sql_cols()} FROM hsh GROUP BY doc_id),
     bands AS (
       SELECT doc_id, 0 AS band, mh0 || ':' || mh1 AS sig FROM mh
       UNION ALL
