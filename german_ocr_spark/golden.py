@@ -30,7 +30,10 @@ def golden_extract(docs: list[tuple[str, list[tuple[str, str, str, int]]]]) -> p
             rows.append((doc_id, order, kind, text, media_ref))
     if not rows:
         return pd.DataFrame(
-            columns=["doc_id", "order", "kind", "text", "media_ref", "error"]
+            columns=[
+                "doc_id", "order", "kind", "text", "media_ref", "error",
+                "error_code",
+            ]
         )
     pdf = pd.DataFrame(rows, columns=["doc_id", "order", "kind", "text", "media_ref"])
     out = extract_pandas(pdf)

@@ -26,7 +26,29 @@ from ..kernels import boilerplate, parse, xycut
 # Output schema of the extraction stage (DDL keeps mapInPandas simple).
 EXTRACT_DDL = (
     "doc_id string, `order` int, kind string, text string, "
-    "media_ref string, error string"
+    "media_ref string, error string, error_code string"
+)
+
+# Typed error taxonomy (SURVEY A19): the reference's 5-class exception
+# ladder (german_ocr/cloud_client.py:34-65 — CloudAPIError,
+# AuthenticationError, InsufficientBalanceError, RateLimitError, plus
+# ValueError validation raises) re-expressed as a closed error_code
+# column domain. Transport-class errors (auth/balance/rate-limit) have
+# no analog in an in-process engine; the surviving classes are the
+# data-shaped ones:
+#   PARSE_HTML         malformed serialized DOM-node table
+#   PARSE_PDF          malformed serialized layout-block table
+#   UNKNOWN_KIND       span kind outside SPAN_KINDS (the reference's
+#                      ValueError on bad format/extension, cloud_client
+#                      .py:291-297,359-367)
+#   DECODE             media payload undecodable (multimodal kernels)
+#   UNSUPPORTED_FORMAT real codec required but stubbed in this sandbox
+ERROR_CODES = (
+    "PARSE_HTML",
+    "PARSE_PDF",
+    "UNKNOWN_KIND",
+    "DECODE",
+    "UNSUPPORTED_FORMAT",
 )
 
 
@@ -45,6 +67,7 @@ def extract_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.reset_index(drop=True)
     out_text = pd.Series([""] * len(pdf), dtype=object)
     error = pd.Series([None] * len(pdf), dtype=object)
+    error_code = pd.Series([None] * len(pdf), dtype=object)
     kind = pdf["kind"].fillna("")
     text = pdf["text"]
 
@@ -61,6 +84,7 @@ def extract_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
         nodes, bad = parse.parse_html_nodes(text[m_html])
         if len(bad):
             error[bad.to_numpy()] = "malformed html node table"
+            error_code[bad.to_numpy()] = "PARSE_HTML"
         if not nodes.empty:
             content = boilerplate.extract_main_content(nodes)
             out_text[content.index] = normalize_series(
@@ -72,6 +96,7 @@ def extract_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
         blocks, bad = parse.parse_pdf_blocks(text[m_pdf])
         if len(bad):
             error[bad.to_numpy()] = "malformed pdf block table"
+            error_code[bad.to_numpy()] = "PARSE_PDF"
         if not blocks.empty:
             pdf_text = xycut.extract_pdf_text(blocks)
             out_text[pdf_text.index] = normalize_series(
@@ -85,6 +110,7 @@ def extract_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
     known = m_text | m_ocr | m_html | m_pdf | m_image
     if (~known).any():
         error[~known] = "unknown span kind"
+        error_code[~known] = "UNKNOWN_KIND"
 
     return pd.DataFrame(
         {
@@ -94,6 +120,7 @@ def extract_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
             "text": out_text,
             "media_ref": pdf["media_ref"].fillna(""),
             "error": error,
+            "error_code": error_code,
         }
     )
 
@@ -198,7 +225,8 @@ def reassemble(extracted: DataFrame) -> DataFrame:
     return extracted.groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(
-                F.struct("order", "kind", "text", "media_ref", "error")
+                F.struct("order", "kind", "text", "media_ref", "error",
+                         "error_code")
             )
         ).alias("spans"),
         F.count("*").cast("long").alias("span_count"),

@@ -77,10 +77,17 @@ def _reject_real_format(buf: bytes) -> None:
             )
 
 
+def _code_of(e: Exception) -> str:
+    """Map a decode failure to the A19 error_code domain
+    (operators.extract.ERROR_CODES): the stub boundary is
+    UNSUPPORTED_FORMAT, everything else is DECODE."""
+    return "UNSUPPORTED_FORMAT" if isinstance(e, NotImplementedError) else "DECODE"
+
+
 # ----------------------------------------------------- vectorized kernels
 IMAGE_META_DDL = (
     "doc_id string, media_ref string, width int, height int, "
-    "mean_px double, n_bytes long, error string"
+    "mean_px double, n_bytes long, error string, error_code string"
 )
 
 
@@ -92,6 +99,7 @@ def _image_meta_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         mean_px = np.full(n, np.nan)
         n_bytes = np.zeros(n, dtype=np.int64)
         error: list[str | None] = [None] * n
+        error_code: list[str | None] = [None] * n
         for i, buf in enumerate(pdf["content"]):
             try:
                 buf = bytes(buf) if buf is not None else b""
@@ -106,6 +114,7 @@ def _image_meta_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 mean_px[i] = float(px.sum(dtype=np.int64)) / (w * h)
             except Exception as e:  # noqa: BLE001 — per-row isolation
                 error[i] = f"{type(e).__name__}: {e}"
+                error_code[i] = _code_of(e)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -115,6 +124,7 @@ def _image_meta_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 "mean_px": mean_px,
                 "n_bytes": n_bytes,
                 "error": error,
+                "error_code": error_code,
             }
         )
 
@@ -129,7 +139,8 @@ def image_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_image_meta_kernel, schema=IMAGE_META_DDL)
 
 
-RESIZE_DDL = "doc_id string, media_ref string, grid array<double>, error string"
+RESIZE_DDL = ("doc_id string, media_ref string, grid array<double>, "
+              "error string, error_code string")
 
 
 def _resize_kernel(grid_w: int, grid_h: int):
@@ -137,6 +148,7 @@ def _resize_kernel(grid_w: int, grid_h: int):
         for pdf in batches:
             grids: list[list[float] | None] = [None] * len(pdf)
             error: list[str | None] = [None] * len(pdf)
+            error_code: list[str | None] = [None] * len(pdf)
             for i, buf in enumerate(pdf["content"]):
                 try:
                     buf = bytes(buf) if buf is not None else b""
@@ -159,12 +171,14 @@ def _resize_kernel(grid_w: int, grid_h: int):
                     grids[i] = cells
                 except Exception as e:  # noqa: BLE001
                     error[i] = f"{type(e).__name__}: {e}"
+                    error_code[i] = _code_of(e)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_ref": pdf["media_ref"],
                     "grid": grids,
                     "error": error,
+                    "error_code": error_code,
                 }
             )
 
@@ -180,7 +194,7 @@ def image_resize(media: DataFrame, grid_w: int = 4, grid_h: int = 4) -> DataFram
 
 AUDIO_DDL = (
     "doc_id string, media_ref string, sample_rate int, duration_ms long, "
-    "rms double, error string"
+    "rms double, error string, error_code string"
 )
 
 
@@ -191,6 +205,7 @@ def _audio_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dur = np.full(n, -1, dtype=np.int64)
         rms = np.full(n, np.nan)
         error: list[str | None] = [None] * n
+        error_code: list[str | None] = [None] * n
         for i, buf in enumerate(pdf["content"]):
             try:
                 buf = bytes(buf) if buf is not None else b""
@@ -204,6 +219,7 @@ def _audio_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rms[i] = float(np.sqrt(np.mean(s.astype(np.float64) ** 2)))
             except Exception as e:  # noqa: BLE001
                 error[i] = f"{type(e).__name__}: {e}"
+                error_code[i] = _code_of(e)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -212,6 +228,7 @@ def _audio_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "duration_ms": dur,
                 "rms": rms,
                 "error": error,
+                "error_code": error_code,
             }
         )
 
@@ -222,7 +239,7 @@ def audio_features(media: DataFrame) -> DataFrame:
 
 FRAMES_DDL = (
     "doc_id string, media_ref string, frame_idx int, width int, height int, "
-    "mean_px double, error string"
+    "mean_px double, error string, error_code string"
 )
 
 
@@ -232,10 +249,10 @@ def _frame_kernel(every_k: int):
             out: dict[str, list] = {
                 k: [] for k in
                 ("doc_id", "media_ref", "frame_idx", "width", "height",
-                 "mean_px", "error")
+                 "mean_px", "error", "error_code")
             }
 
-            def emit(doc_id, ref, idx, w, h, mean, err):
+            def emit(doc_id, ref, idx, w, h, mean, err, code=None):
                 out["doc_id"].append(doc_id)
                 out["media_ref"].append(ref)
                 out["frame_idx"].append(idx)
@@ -243,6 +260,7 @@ def _frame_kernel(every_k: int):
                 out["height"].append(h)
                 out["mean_px"].append(mean)
                 out["error"].append(err)
+                out["error_code"].append(code)
 
             for doc_id, ref, buf in zip(
                 pdf["doc_id"], pdf["media_ref"], pdf["content"]
@@ -263,7 +281,7 @@ def _frame_kernel(every_k: int):
                         )
                 except Exception as e:  # noqa: BLE001
                     emit(doc_id, ref, -1, -1, -1, float("nan"),
-                         f"{type(e).__name__}: {e}")
+                         f"{type(e).__name__}: {e}", _code_of(e))
             yield pd.DataFrame(out)
 
     return kernel

@@ -104,5 +104,5 @@ def read_output(spark: SparkSession, output_dir: str) -> DataFrame:
 
         return spark.createDataFrame([], schema=EXTRACTED_SPAN_SCHEMA)
     return spark.read.parquet(*files).select(
-        "doc_id", "order", "kind", "text", "media_ref", "error"
+        "doc_id", "order", "kind", "text", "media_ref", "error", "error_code"
     )

@@ -1751,11 +1751,12 @@ def _q38_summary(ex: DataFrame) -> DataFrame:
     f"""
     SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS "order", 'ocr' AS kind,
            {german.normalize_sql('text')} AS text,
-           '' AS media_ref, CAST(NULL AS VARCHAR) AS error
+           '' AS media_ref, CAST(NULL AS VARCHAR) AS error,
+           CAST(NULL AS VARCHAR) AS error_code
     FROM documents
     UNION ALL
     SELECT CAST(doc_id AS VARCHAR), 1, 'text',
-           trim(regexp_replace(text, '\\s+', ' ', 'g')), '', NULL
+           trim(regexp_replace(text, '\\s+', ' ', 'g')), '', NULL, NULL
     FROM documents
     """,
 )
@@ -1787,3 +1788,60 @@ def q00(spark, sf_dir):
         ).alias("spans"),
     )
     return extract_pipeline(docs)
+
+
+@query(
+    "q40_error_taxonomy",
+    """
+    WITH routed AS (
+      SELECT CASE doc_id % 5
+               WHEN 0 THEN 'text' WHEN 1 THEN 'html' WHEN 2 THEN 'pdf'
+               WHEN 3 THEN 'n8n' ELSE 'ocr'
+             END AS kind,
+             CASE
+               WHEN doc_id % 5 = 1 AND length(text) > 0 THEN 'PARSE_HTML'
+               WHEN doc_id % 5 = 2 AND length(text) > 0 THEN 'PARSE_PDF'
+               WHEN doc_id % 5 = 3 THEN 'UNKNOWN_KIND'
+             END AS error_code
+      FROM documents
+    )
+    SELECT kind, error_code, COUNT(*) AS n_spans
+    FROM routed GROUP BY kind, error_code
+    """,
+)
+def q40(spark, sf_dir):
+    """A19 typed error taxonomy, oracle-checked: spans are routed to
+    kinds by doc_id (including an unknown 'n8n' kind and raw text fed to
+    the html/pdf table parsers, which rejects it as malformed), run
+    through the real mapInPandas extraction stage, and the resulting
+    (kind, error_code) distribution is compared against the closed
+    ERROR_CODES domain computed relationally. Mirrors the reference's
+    exception-ladder tests (tests/test_cloud_client.py:177-208) as a
+    data-level contract: failures are row values with a typed code,
+    never task failures."""
+    from .operators.extract import extract_pipeline
+
+    d = load(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 5 == 0, "text")
+        .when(F.col("doc_id") % 5 == 1, "html")
+        .when(F.col("doc_id") % 5 == 2, "pdf")
+        .when(F.col("doc_id") % 5 == 3, "n8n")
+        .otherwise("ocr")
+    )
+    docs = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                kind.alias("kind"),
+                F.col("text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    return (
+        extract_pipeline(docs)
+        .groupBy("kind", "error_code")
+        .agg(F.count("*").alias("n_spans"))
+    )

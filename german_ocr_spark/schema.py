@@ -55,6 +55,8 @@ EXTRACTED_SPAN_SCHEMA = T.StructType(
         T.StructField("text", T.StringType(), True),
         T.StructField("media_ref", T.StringType(), True),
         T.StructField("error", T.StringType(), True),
+        # closed domain, see operators.extract.ERROR_CODES (SURVEY A19)
+        T.StructField("error_code", T.StringType(), True),
     ]
 )
 
