@@ -10,6 +10,7 @@ Resume: a rerun over the same ``output_dir`` skips committed buckets
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +31,51 @@ class RunResult:
     error_count: int
 
 
+@dataclass
+class JobProgress:
+    """A16 progress payload, delivered to ``run(on_progress=...)`` after
+    every commit group — the engine-side analog of the reference's
+    ``wait_for_result(on_progress=...)`` callback stream
+    (``cloud_client.py:436-462``: current_page/total_pages/phase).
+    Counts are cumulative across this run's committed groups."""
+
+    snapshot_id: str
+    phase: str
+    buckets_done: int
+    buckets_total: int
+    doc_count: int
+    span_count: int
+    error_count: int
+
+
+class RunCancelled(RuntimeError):
+    """Raised by ``run`` when ``cancel`` aborted it between commit
+    groups (in-flight groups die from ``cancelJobGroup`` directly)."""
+
+
+# job groups cancelled in this process: cancelJobGroup only kills
+# IN-FLIGHT jobs, so the run loop consults this before launching the
+# next group's jobs. The durable cancellation record is the lineage
+# control row (lin.mark_cancelled).
+_cancelled_groups: set[str] = set()
+
+
+@dataclass
+class JobStatus:
+    """A15/A16 status snapshot derived from the lineage table — the
+    analog of the reference's ``JobStatus`` dataclass
+    (``cloud_client.py:72-104``: job_id/status/current_page/total_pages).
+    ``status`` ∈ {pending, processing, completed, cancelled}."""
+
+    job_id: str
+    status: str
+    buckets_done: int
+    buckets_total: int
+    doc_count: int
+    span_count: int
+    error_count: int
+
+
 def run(
     spark: SparkSession,
     docs: DataFrame,
@@ -40,6 +86,7 @@ def run(
     snapshot_id: str = "snap-0001",
     committed_at: str = "1970-01-01T00:00:00Z",
     max_groups: int | None = None,
+    on_progress: Callable[[JobProgress], None] | None = None,
 ) -> RunResult:
     """Extract ``docs`` (doc_id, spans) into ``output_dir`` with
     checkpointed bucket commits.
@@ -49,6 +96,13 @@ def run(
     max_groups: stop after N commit groups (used by tests to simulate a
         killed job; a real kill anywhere leaves the same on-disk states).
     committed_at: injected timestamp — never wall-clock (determinism).
+    on_progress: called after every commit group with cumulative counts
+        (A16); lineage rows land at the same moments, so an independent
+        reader polling ``status()`` sees the same monotone stream.
+
+    All jobs run under the ``lin.job_group_id(snapshot_id)`` job group,
+    so ``cancel(spark, output_dir, snapshot_id)`` from another thread
+    aborts the run mid-flight (A17).
     """
     done = lin.committed_buckets(spark, output_dir)
     pending = [b for b in range(n_buckets) if b not in done]
@@ -63,16 +117,59 @@ def run(
     if max_groups is not None:
         groups = groups[:max_groups]
 
-    processed = 0
-    for group in groups:
-        subset = docs_b.filter(F.col("bucket_id").isin(group))
-        rows = ordered_span_rows(subset.drop("bucket_id"))
-        extracted = run_extract(rows, salt_partitions=salt_partitions)
-        extracted = extracted.withColumn("bucket_id", lin.bucket_col(n_buckets))
-        lin.commit_bucket_group(
-            spark, extracted, output_dir, group, snapshot_id, committed_at
-        )
-        processed += len(group)
+    gid = lin.job_group_id(snapshot_id)
+    _cancelled_groups.discard(gid)  # a fresh run supersedes old intent
+    sc = spark.sparkContext
+    sc.setJobGroup(
+        gid,
+        f"german-ocr-spark extract {snapshot_id}",
+        interruptOnCancel=True,
+    )
+    # Fine-grained resume must not rescan the full corpus once per
+    # commit group: materialize the bucketed scan once and let every
+    # group filter the cached copy. (At cluster scale with a corpus far
+    # beyond cluster storage, replace with a one-time bucket-partitioned
+    # staging write; same one-scan property.)
+    persisted = len(groups) > 1
+    if persisted:
+        docs_b = docs_b.persist()
+    try:
+        processed = 0
+        cum_d = cum_s = cum_e = 0
+        for group in groups:
+            if gid in _cancelled_groups:
+                raise RunCancelled(
+                    f"run {snapshot_id} cancelled after "
+                    f"{processed}/{len(groups) and sum(map(len, groups))} "
+                    "buckets"
+                )
+            subset = docs_b.filter(F.col("bucket_id").isin(group))
+            rows = ordered_span_rows(subset.drop("bucket_id"))
+            extracted = run_extract(rows, salt_partitions=salt_partitions)
+            extracted = extracted.withColumn(
+                "bucket_id", lin.bucket_col(n_buckets)
+            )
+            d, s, e = lin.commit_bucket_group(
+                spark, extracted, output_dir, group, snapshot_id, committed_at
+            )
+            processed += len(group)
+            cum_d, cum_s, cum_e = cum_d + d, cum_s + s, cum_e + e
+            if on_progress is not None:
+                on_progress(
+                    JobProgress(
+                        snapshot_id=snapshot_id,
+                        phase="extract",
+                        buckets_done=len(done) + processed,
+                        buckets_total=n_buckets,
+                        doc_count=cum_d,
+                        span_count=cum_s,
+                        error_count=cum_e,
+                    )
+                )
+    finally:
+        if persisted:
+            docs_b.unpersist()
+        sc.setJobGroup("", "")
 
     ldf = lin.read_lineage(spark, output_dir)
     tot = ldf.filter(F.col("status") == "committed").agg(
@@ -88,6 +185,80 @@ def run(
         doc_count=int(tot.d or 0),
         span_count=int(tot.s or 0),
         error_count=int(tot.e or 0),
+    )
+
+
+def cancel(
+    spark: SparkSession,
+    output_dir: str,
+    snapshot_id: str = "snap-0001",
+    cancelled_at: str = "1970-01-01T00:00:00Z",
+) -> bool:
+    """A17 job cancel (reference ``cancel_job``,
+    ``cloud_client.py:399-413``): abort all in-flight Spark jobs of the
+    run's job group and record a ``cancelled`` lineage control row.
+    Returns True on success; any failure is swallowed to False (the
+    reference's DELETE-swallowing contract). Already-committed buckets
+    stay committed — ``read_output`` never sees the killed group's
+    orphan files, and a later ``run`` resumes from the cut point."""
+    try:
+        gid = lin.job_group_id(snapshot_id)
+        spark.sparkContext.cancelJobGroup(gid)
+        _cancelled_groups.add(gid)
+        lin.mark_cancelled(spark, output_dir, snapshot_id, cancelled_at)
+        return True
+    except Exception:
+        return False
+
+
+def status(
+    spark: SparkSession,
+    output_dir: str,
+    n_buckets: int = lin.N_BUCKETS_DEFAULT,
+) -> JobStatus:
+    """A15/A16 status poll over the lineage table (reference
+    ``get_job``): pending (nothing committed), processing, completed
+    (all buckets committed), or cancelled (a cancel control row exists
+    and the run never completed)."""
+    try:
+        ldf = lin.read_lineage(spark, output_dir)
+        agg = (
+            ldf.agg(
+                F.countDistinct(
+                    F.when(F.col("status") == "committed", F.col("bucket_id"))
+                ).alias("b"),
+                F.sum(
+                    F.when(F.col("status") == "committed", F.col("doc_count"))
+                ).alias("d"),
+                F.sum(
+                    F.when(F.col("status") == "committed", F.col("span_count"))
+                ).alias("s"),
+                F.sum(
+                    F.when(F.col("status") == "committed", F.col("error_count"))
+                ).alias("e"),
+                F.max(F.when(F.col("status") == "cancelled", 1)).alias("c"),
+                F.max("snapshot_id").alias("snap"),
+            )
+        ).collect()[0]
+    except Exception:
+        return JobStatus("", "pending", 0, n_buckets, 0, 0, 0)
+    buckets_done = int(agg.b or 0)
+    if buckets_done >= n_buckets:
+        st = "completed"
+    elif agg.c:
+        st = "cancelled"
+    elif buckets_done > 0:
+        st = "processing"
+    else:
+        st = "pending"
+    return JobStatus(
+        job_id=agg.snap or "",
+        status=st,
+        buckets_done=buckets_done,
+        buckets_total=n_buckets,
+        doc_count=int(agg.d or 0),
+        span_count=int(agg.s or 0),
+        error_count=int(agg.e or 0),
     )
 
 

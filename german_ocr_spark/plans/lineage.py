@@ -22,6 +22,13 @@ killed job's orphan files are simply invisible, no cleanup or staging
 move needed, and the data write itself requires NO shuffle or
 partitioned layout: map tasks append files directly. ``vacuum`` deletes
 unreferenced files opportunistically.
+
+Object-store safety: each commit group writes into its OWN subdirectory
+``data/<snapshot>-g<first_bucket>/`` and its manifest is the listing of
+that exclusively-owned directory via the Hadoop FileSystem API (which
+resolves to local FS, HDFS, s3a, gs, ... from the path scheme) — there
+is no before/after diff of a shared directory, so concurrent writers to
+one output table can never race each other's manifests.
 """
 
 from __future__ import annotations
@@ -35,6 +42,10 @@ from ..schema import LINEAGE_SCHEMA
 
 N_BUCKETS_DEFAULT = 32
 
+# lineage bucket_id used by job-control rows (cancel intent), which do
+# not correspond to any data bucket
+CONTROL_BUCKET = -1
+
 
 def bucket_col(n_buckets: int):
     # xxhash64 can be negative; pmod keeps the bucket in [0, n).
@@ -47,6 +58,50 @@ def lineage_path(output_dir: str) -> str:
 
 def data_path(output_dir: str) -> str:
     return os.path.join(output_dir, "data")
+
+
+def job_group_id(snapshot_id: str) -> str:
+    """Spark job-group name under which a run's jobs execute — the
+    cancellation handle (SURVEY A17; reference job_id,
+    cloud_client.py:399-413)."""
+    return f"german-ocr-spark::{snapshot_id}"
+
+
+# ------------------------------------------------------ Hadoop FS access
+def _hadoop_fs(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _list_dir_files(spark: SparkSession, d: str) -> set[str]:
+    """Parquet file NAMES directly inside ``d`` (non-recursive), via the
+    Hadoop FS API so the same code serves local FS and object stores."""
+    fs, p = _hadoop_fs(spark, d)
+    if not fs.exists(p):
+        return set()
+    return {
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.isFile() and st.getPath().getName().endswith(".parquet")
+    }
+
+
+def _list_data_files(spark: SparkSession, output_dir: str) -> set[str]:
+    """All parquet files under data/, as paths RELATIVE to data/
+    (commit subdirs and legacy flat files alike), recursively via the
+    Hadoop FS API."""
+    fs, p = _hadoop_fs(spark, data_path(output_dir))
+    if not fs.exists(p):
+        return set()
+    base = fs.makeQualified(p).toString()
+    out: set[str] = set()
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        path = it.next().getPath().toString()
+        if path.endswith(".parquet"):
+            out.add(path[len(base) + 1 :])
+    return out
 
 
 def committed_buckets(spark: SparkSession, output_dir: str) -> set[int]:
@@ -66,16 +121,6 @@ def committed_buckets(spark: SparkSession, output_dir: str) -> set[int]:
 
 def read_lineage(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path(output_dir))
-
-
-def _list_data_files(output_dir: str) -> set[str]:
-    d = data_path(output_dir)
-    try:
-        return {
-            n for n in os.listdir(d) if n.endswith(".parquet")
-        }
-    except FileNotFoundError:
-        return set()
 
 
 def committed_files(spark: SparkSession, output_dir: str) -> list[str]:
@@ -98,13 +143,18 @@ def committed_files(spark: SparkSession, output_dir: str) -> list[str]:
 def vacuum(spark: SparkSession, output_dir: str) -> list[str]:
     """Delete data files not referenced by any committed lineage row
     (orphans from killed uncommitted writes). Safe any time: readers
-    only ever see manifest-referenced files."""
-    referenced = {os.path.basename(f) for f in committed_files(spark, output_dir)}
+    only ever see manifest-referenced files. Uses the Hadoop FS API, so
+    it works against object stores as well as local runs."""
+    d = data_path(output_dir)
+    referenced = {
+        os.path.relpath(f, d) for f in committed_files(spark, output_dir)
+    }
+    fs, _ = _hadoop_fs(spark, d)
     removed = []
-    for n in _list_data_files(output_dir) - referenced:
-        os.remove(os.path.join(data_path(output_dir), n))
-        removed.append(n)
-    return sorted(removed)
+    for rel in sorted(_list_data_files(spark, output_dir) - referenced):
+        fs.delete(spark._jvm.org.apache.hadoop.fs.Path(f"{d}/{rel}"), False)
+        removed.append(rel)
+    return removed
 
 
 def commit_bucket_group(
@@ -114,8 +164,10 @@ def commit_bucket_group(
     buckets: list[int],
     snapshot_id: str,
     committed_at: str,
-) -> None:
+) -> tuple[int, int, int]:
     """Write one bucket group's extracted spans, then its lineage rows.
+    Returns the group's ``(doc_count, span_count, error_count)`` totals
+    (the A16 progress payload — no extra action needed by callers).
 
     ``extracted`` must already carry a ``bucket_id`` column and contain
     only rows of ``buckets``, and must include each document's
@@ -123,11 +175,13 @@ def commit_bucket_group(
     number of ``order == 0`` rows (one per non-empty document), so
     committing a projection that filters out order-0 spans would
     undercount documents (span/error counts stay exact either way).
-    The write is shuffle-free: map tasks
-    append flat files; the before/after listing diff is the file set
-    this group committed. (On a multi-writer object store the listing
-    diff would be replaced by collecting task-committed file names; one
-    call site.)
+
+    The write is shuffle-free (map tasks append flat files) and lands in
+    a subdirectory owned exclusively by this commit group
+    (``data/<snapshot>-g<first_bucket>/``): the manifest is the Hadoop-FS
+    listing of that one directory, so concurrent writers to the same
+    output table can never contaminate each other's manifests and no
+    shared-directory before/after diff exists anywhere.
     """
     from pyspark.sql import Observation
 
@@ -149,11 +203,19 @@ def commit_bucket_group(
                 F.when(in_b & F.col("error").isNotNull(), 1).otherwise(0)
             ).alias(f"e{b}"),
         ]
-    before = _list_data_files(output_dir)
-    extracted.observe(obs, *metric_cols).write.mode("append").parquet(
-        data_path(output_dir)
+    # mode=overwrite: the subdir is owned by (snapshot, group), so a
+    # rerun after a mid-write kill clobbers that attempt's orphans
+    # instead of mixing them into this attempt's manifest listing.
+    subdir = f"{snapshot_id}-g{min(buckets):05d}"
+    extracted.observe(obs, *metric_cols).write.mode("overwrite").parquet(
+        os.path.join(data_path(output_dir), subdir)
     )
-    new_files = sorted(_list_data_files(output_dir) - before)
+    new_files = sorted(
+        f"{subdir}/{n}"
+        for n in _list_dir_files(
+            spark, os.path.join(data_path(output_dir), subdir)
+        )
+    )
     stats = obs.get
     rows = [
         (
@@ -167,6 +229,29 @@ def commit_bucket_group(
             new_files,
         )
         for b in buckets
+    ]
+    spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(lineage_path(output_dir))
+    return (
+        sum(int(stats[f"d{b}"] or 0) for b in buckets),
+        sum(int(stats[f"s{b}"] or 0) for b in buckets),
+        sum(int(stats[f"e{b}"] or 0) for b in buckets),
+    )
+
+
+def mark_cancelled(
+    spark: SparkSession,
+    output_dir: str,
+    snapshot_id: str,
+    cancelled_at: str,
+) -> None:
+    """Record cancellation INTENT as a lineage control row (A17): data
+    written by killed tasks stays orphaned (invisible to manifest
+    readers, reclaimed by ``vacuum``); committed buckets remain
+    committed, so a later rerun resumes exactly where the cancel cut."""
+    rows = [
+        (snapshot_id, CONTROL_BUCKET, 0, 0, 0, "cancelled", cancelled_at, [])
     ]
     spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).coalesce(1).write.mode(
         "append"
