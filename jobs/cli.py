@@ -6,8 +6,13 @@ Mapping (reference → here):
                                            media directory (sources.read_media_dir,
                                            sorted, extension allow-list)
   ``german-ocr corpus`` (span table)     → read_span_table (parquet / iceberg:)
-  ``--format markdown|json|text``        → sinks.markdown_blocks / result_json /
-                                           plain text column (cli.py:83-99)
+  ``--format markdown|md|json|text|n8n|html`` → the full reference format
+                                           domain (cloud_client.py:165, md→
+                                           markdown alias :359-362, html route
+                                           ollama_backend.py:113-120):
+                                           markdown blocks / result_json /
+                                           plain text / n8n workflow items /
+                                           per-doc <article> blocks
   ``--structured``                       → operators.structured.structured_extract
                                            (typed ExtractionResult rows,
                                            extractor.py:163-223)
@@ -37,7 +42,25 @@ import sys
 # sys.path; under spark-submit --py-files the zip provides the package
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FORMATS = ("markdown", "json", "text")
+# Reference format domain (cloud_client.py:165 OUTPUT_FORMATS =
+# {json, markdown, md, text, n8n}; lowercased + md→markdown alias at
+# :359-362) plus the local backend's html prompt route
+# (ollama_backend.py:113-120).
+FORMATS = ("markdown", "md", "json", "text", "n8n", "html")
+
+
+def normalize_format(fmt: str) -> str:
+    """A4 enum normalization: lowercase, ``md`` → ``markdown``
+    (cloud_client.py:359-362). Raises ValueError outside the domain —
+    the reference's exact contract."""
+    fmt = fmt.lower()
+    if fmt == "md":
+        fmt = "markdown"
+    if fmt not in FORMATS:
+        raise ValueError(
+            f"Ungültiges Output-Format: {fmt}. Erlaubt: {', '.join(FORMATS)}"
+        )
+    return fmt
 
 
 def build_docs_from_media_dir(spark, directory: str):
@@ -71,8 +94,10 @@ def main(argv: list[str] | None = None, stop: bool = True) -> int:
     p.add_argument("input", nargs="?", help="span table path, or media dir with --batch")
     p.add_argument("--batch", action="store_true",
                    help="treat input as a directory of media files (cli.py --batch)")
-    p.add_argument("--format", choices=FORMATS, default="markdown",
-                   help="output shape (default: markdown blocks)")
+    p.add_argument("--format", type=str.lower, choices=FORMATS,
+                   default="markdown",
+                   help="output shape (default: markdown blocks); 'md' "
+                        "is an alias for markdown")
     p.add_argument("--structured", action="store_true",
                    help="parse span text as typed ExtractionResult rows")
     p.add_argument("--output", help="output directory (distributed write)")
@@ -89,6 +114,13 @@ def main(argv: list[str] | None = None, stop: bool = True) -> int:
         return 0
     if not args.input or not args.output:
         p.error("input and --output are required unless --list-kernels")
+    fmt = normalize_format(args.format)
+    if args.structured and fmt not in ("json", "n8n"):
+        # typed rows only have JSON-shaped outputs; the old behavior
+        # (markdown silently writing parquet, text dropping result_json)
+        # was surprising — reject like the reference's ValueError on a
+        # bad format (cloud_client.py:363-367)
+        p.error("--structured supports --format json or n8n only")
 
     from pyspark.sql import functions as F
 
@@ -116,9 +148,20 @@ def main(argv: list[str] | None = None, stop: bool = True) -> int:
         # the lines a text re-read would count
         return df.observe(obs, F.count(F.lit(1)).alias("n"))
 
+    def n8n_items(df):
+        """n8n output shape: one workflow item per row, the payload
+        nested under a ``json`` key (the n8n item contract the
+        reference's n8n format feeds, cloud_client.py:165)."""
+        payload = [c for c in df.columns]
+        return df.select(
+            F.to_json(F.struct(F.struct(*payload).alias("json"))).alias("item")
+        )
+
     if args.structured:
         # per-document text (ordered spans joined) → typed parse; the
-        # reference's DocumentExtractor path (extractor.py:163-223)
+        # reference's DocumentExtractor path (extractor.py:163-223).
+        # All structured output is JSON-shaped: plain result_json rows
+        # for --format json, n8n items for --format n8n.
         per_doc = reassemble(extracted).select(
             "doc_id",
             F.array_join(
@@ -127,18 +170,38 @@ def main(argv: list[str] | None = None, stop: bool = True) -> int:
             "span_count",
             "error_count",
         )
-        out = structured_extract(per_doc)
-        write_sink(
-            observed(result_json(out) if args.format == "json" else out),
-            args.output,
-            "parquet" if args.format == "markdown" else "json",
-        )
-    elif args.format == "markdown":
+        out = result_json(structured_extract(per_doc))
+        if fmt == "n8n":
+            write_sink(observed(n8n_items(out)), args.output, "text")
+        else:
+            write_sink(observed(out), args.output, "json")
+    elif fmt == "markdown":
         write_sink(
             observed(markdown_blocks(extracted).select("block")), args.output, "text"
         )
-    elif args.format == "json":
+    elif fmt == "json":
         write_sink(observed(result_json(extracted)), args.output, "json")
+    elif fmt == "n8n":
+        write_sink(
+            observed(n8n_items(result_json(extracted))), args.output, "text"
+        )
+    elif fmt == "html":
+        # html route (ollama_backend.py:118): per-document <article>
+        # with one <p> per ordered span
+        paras = F.transform(
+            F.sort_array(F.collect_list(F.struct("order", "text"))),
+            lambda s: F.concat(F.lit("<p>"), s.text, F.lit("</p>")),
+        )
+        blocks = extracted.groupBy("doc_id").agg(
+            F.concat(
+                F.lit('<article data-doc="'),
+                F.col("doc_id"),
+                F.lit('">'),
+                F.array_join(paras, ""),
+                F.lit("</article>"),
+            ).alias("block")
+        )
+        write_sink(observed(blocks.select("block")), args.output, "text")
     else:  # text: one line per span, document/order prefixed for dedup-safe cat
         write_sink(
             observed(

@@ -81,6 +81,67 @@ def test_structured_output(spark, tmp_path):
     assert got["doc-bad"]["error"] == "failed to parse JSON"
 
 
+def test_md_alias_matches_markdown(spark, span_table, tmp_path):
+    """A4 enum normalization parity: md → markdown (cloud_client.py:
+    359-362) produces byte-identical output."""
+    out_md = str(tmp_path / "md_alias")
+    out_full = str(tmp_path / "md_full")
+    assert _run_cli([span_table, "--format", "md", "--output", out_md]) == 0
+    assert _run_cli([span_table, "--format", "MarkDown", "--output", out_full]) == 0
+    a = sorted(r.value for r in spark.read.text(out_md).collect())
+    b = sorted(r.value for r in spark.read.text(out_full).collect())
+    assert a == b and len(a) > 0
+
+
+def test_n8n_output(spark, span_table, tmp_path):
+    out = str(tmp_path / "n8n")
+    assert _run_cli([span_table, "--format", "n8n", "--output", out]) == 0
+    lines = [r.value for r in spark.read.text(out).collect()]
+    item = json.loads(lines[0])
+    # n8n workflow items nest the payload under a "json" key
+    assert set(item) == {"json"}
+    assert {"doc_id", "result_json"} <= set(item["json"])
+
+
+def test_html_output(spark, span_table, tmp_path):
+    out = str(tmp_path / "html")
+    assert _run_cli([span_table, "--format", "html", "--output", out]) == 0
+    lines = [r.value for r in spark.read.text(out).collect()]
+    n_nonempty = sum(1 for _, spans in synth_docs(40, seed=7) if spans)
+    assert len(lines) == n_nonempty
+    assert all(
+        ln.startswith('<article data-doc="') and ln.endswith("</article>")
+        for ln in lines
+    )
+
+
+def test_structured_n8n_output(spark, tmp_path):
+    inv = json.dumps({"type": "invoice", "invoice_number": "R-2002"})
+    docs = docs_to_spark(spark, [("doc-json", [("ocr", inv, "", 0)])])
+    src = str(tmp_path / "src.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "sn8n")
+    assert _run_cli([src, "--structured", "--format", "n8n", "--output", out]) == 0
+    lines = [r.value for r in spark.read.text(out).collect()]
+    payload = json.loads(lines[0])["json"]
+    assert json.loads(payload["result_json"])["success"] is True
+
+
+def test_structured_rejects_non_json_formats(span_table, tmp_path):
+    with pytest.raises(SystemExit):
+        _run_cli(
+            [span_table, "--structured", "--format", "text",
+             "--output", str(tmp_path / "x")]
+        )
+
+
+def test_normalize_format_domain():
+    assert cli_job.normalize_format("MD") == "markdown"
+    assert cli_job.normalize_format("N8N") == "n8n"
+    with pytest.raises(ValueError):
+        cli_job.normalize_format("xml")
+
+
 def test_batch_media_dir(spark, tmp_path):
     d = tmp_path / "imgs"
     d.mkdir()
