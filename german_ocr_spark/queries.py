@@ -17,6 +17,7 @@ Conventions for cross-engine determinism:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -672,6 +673,15 @@ def q18(spark, sf_dir):
 _MH_P = 2147483647
 _MH_COEF = ((2, 1), (3, 7), (5, 11), (7, 19), (11, 23), (13, 31))
 
+# MinHash LSH banding — SCALE PARAMETERS (b bands of r rows):
+# P(candidate | Jaccard=s) = 1 - (1 - s^r)^b, an S-curve with threshold
+# ≈ (1/b)^(1/r). b=3, r=2 puts the threshold at ~0.57 — tuned for
+# "near-dup" (J >= 0.5). At larger corpus sizes keep r*b = len(_MH_COEF)
+# signatures but raise r (narrower buckets, fewer false candidates) —
+# the same budget trade as SH_BAND_BITS above.
+MH_ROWS_PER_BAND = 2
+MH_N_BANDS = len(_MH_COEF) // MH_ROWS_PER_BAND
+
 
 def _minhash_df(spark, sf_dir):
     # Operates on the 48-bit hashed shingles from _shingles — min over a
@@ -707,18 +717,27 @@ def q19(spark, sf_dir):
     return _minhash_df(spark, sf_dir)
 
 
+def _mh_bands_sql() -> str:
+    """Band CTE generated from (MH_N_BANDS, MH_ROWS_PER_BAND) so the
+    oracle can never drift from the Spark band layout."""
+    selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {i} AS band, {sig} AS sig FROM mh".format(
+            i=i,
+            sig=" || ':' || ".join(
+                f"mh{i * MH_ROWS_PER_BAND + r}" for r in range(MH_ROWS_PER_BAND)
+            ),
+        )
+        for i in range(MH_N_BANDS)
+    )
+    return f"bands AS (\n      {selects}\n    )"
+
+
 @query(
     "q20_lsh_candidate_pairs",
     _SHINGLE_CTE
     + f"""
     , mh AS (SELECT doc_id, {_minhash_sql_cols()} FROM hsh GROUP BY doc_id),
-    bands AS (
-      SELECT doc_id, 0 AS band, mh0 || ':' || mh1 AS sig FROM mh
-      UNION ALL
-      SELECT doc_id, 1, mh2 || ':' || mh3 FROM mh
-      UNION ALL
-      SELECT doc_id, 2, mh4 || ':' || mh5 FROM mh
-    )
+    {_mh_bands_sql()}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            COUNT(DISTINCT a.band) AS n_bands
     FROM bands a JOIN bands b
@@ -729,18 +748,25 @@ def q19(spark, sf_dir):
 def q20(spark, sf_dir):
     # LSH banding: docs sharing any band signature are candidates —
     # the bucket-join replaces all-pairs comparison (shuffle key =
-    # (band, sig); bucket sizes bound the join fan-out).
+    # (band, sig); bucket sizes bound the join fan-out). (b, r) sizing
+    # rule at the MH_N_BANDS/MH_ROWS_PER_BAND definition.
     mh = _minhash_df(spark, sf_dir)
-    # all 3 bands in ONE pass over the signatures: posexplode of an
-    # in-row array (pos IS the band id) instead of a 3-way union that
+    # all bands in ONE pass over the signatures: posexplode of an
+    # in-row array (pos IS the band id) instead of an N-way union that
     # would re-read the aggregated-signature subtree per band
     bands = mh.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.concat_ws(":", f"mh{2 * band}", f"mh{2 * band + 1}")
-                    for band in range(3)
+                    F.concat_ws(
+                        ":",
+                        *[
+                            f"mh{band * MH_ROWS_PER_BAND + r}"
+                            for r in range(MH_ROWS_PER_BAND)
+                        ],
+                    )
+                    for band in range(MH_N_BANDS)
                 ]
             )
         ).alias("band", "sig"),
@@ -790,11 +816,16 @@ def _fold_dec(arr):
     Null elements are dropped before folding: zip_with pads unequal-
     length arrays with nulls, and a null product would otherwise poison
     the whole sum — dropping them matches the oracles' relational form
-    (an inner join on pos sums only the shared positions)."""
+    (an inner join on pos sums only the shared positions).
+
+    The ACCUMULATOR is decimal(38,12) — the same width SQL SUM over
+    decimal(28,12) widens to on both engines — so the fold has identical
+    overflow headroom to the oracles: a sum past ~10^16 would otherwise
+    null out here while the SQL SUM kept going (ADVICE r01)."""
     return F.aggregate(
         F.filter(arr, lambda x: x.isNotNull()),
-        F.lit(0).cast("decimal(28,12)"),
-        lambda acc, x: (acc + x).cast("decimal(28,12)"),
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, x: (acc + x).cast("decimal(38,12)"),
     ).cast("double")
 
 
@@ -813,6 +844,16 @@ def _dot_dec(a, b):
 
 def _nrm_dec(a):
     return F.sqrt(_dot_dec(a, a))
+
+
+def _load_embeddings(spark, sf_dir):
+    """Embeddings restricted to the oracles' implicit domain: the
+    relational dims-explosion (``unnest``) drops empty/null vectors
+    entirely, while the in-row rewrites would emit rows (bucket 0 /
+    null cosine) for them — filter them out so the Spark and oracle
+    domains stay identical on any input (ADVICE r01; fixture vectors
+    are all length-64 non-null, so this is a no-op there)."""
+    return load(spark, sf_dir, "embeddings").filter(F.size("embedding") > 0)
 
 
 def _sign_bucket_expr(col_name: str = "embedding"):
@@ -855,7 +896,7 @@ def q21(spark, sf_dir):
     # (zip_with + exact decimal fold) — one map-side pass over the
     # corpus, no dims explosion, no join on pos, no re-aggregation.
     # The oracle replays the same arithmetic relationally in DuckDB.
-    e = load(spark, sf_dir, "embeddings")
+    e = _load_embeddings(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -899,7 +940,7 @@ def _bucketed_cos_pairs(spark, sf_dir):
     the embedding arrays carried in-row; cosine computed per pair with
     zip_with + exact decimal fold. ONE shuffle (the bucket join key);
     no dims explosion, no pos-join, no per-pair re-aggregation."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = _load_embeddings(spark, sf_dir).select(
         "vec_id",
         "embedding",
         _sign_bucket_expr().alias("bucket"),
@@ -994,7 +1035,7 @@ def q23(spark, sf_dir):
     # Bucket-size histogram: the skew diagnostic for the ANN path (a
     # hot bucket is exactly the salting trigger at scale). Bucket ids
     # computed in-row — one map pass + one tiny groupBy.
-    e = load(spark, sf_dir, "embeddings")
+    e = _load_embeddings(spark, sf_dir)
     return (
         e.select(_sign_bucket_expr().alias("bucket"))
         .groupBy("bucket")
@@ -1032,7 +1073,7 @@ def q33(spark, sf_dir):
     # decimal fold) and the per-vector argmin is a window over 16 rows
     # — one map-side pass, no dims explosion, no pos-join, no
     # re-aggregation. Exact DECIMAL sums keep Spark == DuckDB.
-    e = load(spark, sf_dir, "embeddings")
+    e = _load_embeddings(spark, sf_dir)
     cents = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
@@ -1256,6 +1297,21 @@ def q27(spark, sf_dir):
 # =====================================================================
 
 _SH_BITS = 48
+
+# SimHash LSH band sizing — SCALE PARAMETERS, not magic numbers.
+# Bands of SH_BAND_BITS bits each: expected bucket size is
+# n / 2^SH_BAND_BITS, and each band's self-join emits
+# ~n^2 / 2^SH_BAND_BITS candidate pairs in total, so band bits must
+# GROW with corpus size: pick SH_BAND_BITS ≈ log2(n / target_bucket),
+# e.g. 12 bits for 10^5-10^6 docs (buckets of ~25-250), 30+ bits for
+# 10^12 (composing several signature slices into one key). Fewer,
+# wider bands trade recall for pair volume exactly like MinHash
+# banding (b bands of r bits ⇒ P(candidate) = 1-(1-p^r)^b).
+# q41_simhash_band_histogram is the live skew diagnostic: its max
+# bucket size tells you when to raise SH_BAND_BITS.
+SH_BAND_BITS = 12
+SH_N_BANDS = 4
+
 _SH_TOK = """
     WITH tok AS (
       SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -1308,20 +1364,46 @@ def q28(spark, sf_dir):
     return _simhash_df(spark, sf_dir)
 
 
+def _sh_bands_sql() -> str:
+    """Band CTE generated from (SH_N_BANDS, SH_BAND_BITS) so the oracle
+    can never drift from the Spark band layout."""
+    mask = (1 << SH_BAND_BITS) - 1
+    selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, simhash, {i} AS band, "
+        f"(simhash >> {SH_BAND_BITS * i}) & {mask} AS key FROM sig"
+        for i in range(SH_N_BANDS)
+    )
+    return f"bands AS (\n      {selects}\n    )"
+
+
+def _sh_bands_df(spark, sf_dir):
+    """(doc_id, simhash, band, key): all SH_N_BANDS band keys from ONE
+    posexplode pass over an in-row array (pos IS the band id) — no
+    N-way union re-reading the signature subtree."""
+    mask = (1 << SH_BAND_BITS) - 1
+    sig = _simhash_df(spark, sf_dir)
+    return sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", SH_BAND_BITS * i)
+                    .bitwiseAND(mask)
+                    .cast("long")
+                    for i in range(SH_N_BANDS)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+
+
 @query(
     "q29_simhash_near_dups",
     _SH_TOK
     + f"""
     , sig AS (SELECT doc_id, {_simhash_sql_expr()} AS simhash FROM th GROUP BY doc_id),
-    bands AS (
-      SELECT doc_id, simhash, 0 AS band, simhash & 4095 AS key FROM sig
-      UNION ALL
-      SELECT doc_id, simhash, 1, (simhash >> 12) & 4095 FROM sig
-      UNION ALL
-      SELECT doc_id, simhash, 2, (simhash >> 24) & 4095 FROM sig
-      UNION ALL
-      SELECT doc_id, simhash, 3, (simhash >> 36) & 4095 FROM sig
-    )
+    {_sh_bands_sql()}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
     FROM bands a JOIN bands b
@@ -1330,24 +1412,11 @@ def q28(spark, sf_dir):
     """,
 )
 def q29(spark, sf_dir):
-    # Banded SimHash LSH: two 8-bit bands bound the candidate join
-    # (collision prob 2^-8 per band vs all-pairs n^2); hamming distance
-    # verified with bit_count(xor) JVM-side.
-    sig = _simhash_df(spark, sf_dir)
-    # all 4 bands in ONE pass (posexplode of an in-row key array; pos
-    # IS the band id) — no 4-way union re-reading the signature subtree
-    bands = sig.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", 12 * i).bitwiseAND(4095).cast("long")
-                    for i in range(4)
-                ]
-            )
-        ).alias("band", "key"),
-    )
+    # Banded SimHash LSH: SH_N_BANDS bands of SH_BAND_BITS bits bound
+    # the candidate join (collision prob 2^-SH_BAND_BITS per band vs
+    # all-pairs n^2); hamming distance verified with bit_count(xor)
+    # JVM-side. Band sizing rule at the constants' definition.
+    bands = _sh_bands_df(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     hamming = F.bit_count(
@@ -1367,6 +1436,29 @@ def q29(spark, sf_dir):
         )
         .filter(F.col("hamming") <= 3)
         .distinct()
+    )
+
+
+@query(
+    "q41_simhash_band_histogram",
+    _SH_TOK
+    + f"""
+    , sig AS (SELECT doc_id, {_simhash_sql_expr()} AS simhash FROM th GROUP BY doc_id),
+    {_sh_bands_sql()}
+    SELECT band, key, COUNT(*) AS n_docs FROM bands GROUP BY band, key
+    """,
+)
+def q41(spark, sf_dir):
+    # Band-bucket histogram for the SimHash LSH (q23 pattern applied to
+    # q29): the live skew diagnostic proving the SH_BAND_BITS sizing —
+    # max(n_docs) is the largest self-join bucket; when it outgrows the
+    # target (~n / 2^SH_BAND_BITS), raise SH_BAND_BITS. One map pass +
+    # one small groupBy; at 100 TB the histogram itself is tiny
+    # (≤ SH_N_BANDS * 2^SH_BAND_BITS rows).
+    return (
+        _sh_bands_df(spark, sf_dir)
+        .groupBy("band", "key")
+        .agg(F.count("*").alias("n_docs"))
     )
 
 
@@ -1459,13 +1551,33 @@ def q31(spark, sf_dir):
     return markdown_blocks(extract_pipeline(docs))
 
 
-@query("q32_extract_html_pdf")
+_Q32_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "golden",
+    "q32_spans.parquet",
+)
+
+
+@query(
+    "q32_extract_html_pdf",
+    f"""
+    SELECT doc_id, "order", kind, text, media_ref, error, error_code
+    FROM '{_Q32_GOLDEN}'
+    """,
+)
 def q32(spark, sf_dir):
     """The HTML-boilerplate (B5) and XY-cut PDF (B6) kernels through the
-    full distributed pipeline over the deterministic synthetic corpus
-    (no DuckDB oracle — the kernels are vectorized pandas programs;
-    their value-level checks are the golden-fixture pytest suite). The
-    driver's rows-only check still exercises plan + kernels end-to-end."""
+    full distributed pipeline over the deterministic synthetic corpus,
+    value-checked against the committed SINGLE-NODE golden parquet
+    (tests/golden/q32_spans.parquet, regenerated by
+    tools/make_golden.py): the same pure pandas kernels run through the
+    plain-pandas golden_extract path with none of the Spark plumbing.
+    The oracle is a straight SELECT of that file, so the driver verifies
+    that Arrow batching, salted repartition, and the shuffle-free
+    in-row ordering reproduce the single-node result byte-for-byte —
+    the engine's centerpiece kernels get a full hash gate instead of a
+    rows-only count."""
     from .operators.extract import extract_pipeline
     from .synth import synth_docs_distributed
 
@@ -1476,28 +1588,9 @@ def q32(spark, sf_dir):
     docs = synth_docs_distributed(spark, 400, seed=42, n_partitions=8).filter(
         F.exists("spans", lambda s: s["kind"].isin("html", "pdf"))
     )
-    out = extract_pipeline(docs)
-    return (
-        out.filter(F.col("kind").isin("html", "pdf"))
-        .groupBy("kind")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.length("text")).alias("total_chars"),
-            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
-                "error_rows"
-            ),
-            F.xxhash64(
-                F.concat_ws(
-                    "\x1f",
-                    F.sort_array(
-                        F.collect_list(
-                            F.concat_ws("|", "doc_id", "order", "text")
-                        )
-                    ),
-                )
-            ).alias("content_hash"),
-        )
-        .orderBy("kind")
+    out = extract_pipeline(docs, salt_partitions=16)
+    return out.filter(F.col("kind").isin("html", "pdf")).select(
+        "doc_id", "order", "kind", "text", "media_ref", "error", "error_code"
     )
 
 
