@@ -59,3 +59,38 @@ def test_result_json_roundtrip(spark):
     for r in rows:
         payload = json.loads(r.result_json)
         assert {"order", "kind"} <= set(payload)
+
+
+def _iceberg_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_read_span_table_iceberg_branch(spark, tmp_path):
+    """B1 Iceberg branch: exercised for real when the runtime jar is on
+    the classpath; otherwise explicitly SKIPPED (this sandbox ships no
+    Iceberg jar) rather than silently untested. The parquet branch and
+    the iceberg: prefix routing are asserted either way."""
+    import pytest as _pytest
+
+    from german_ocr_spark.sources import read_span_table
+
+    # parquet branch (always available)
+    p = str(tmp_path / "spans.parquet")
+    docs_to_spark(spark, synth_docs(5, seed=1)).write.parquet(p)
+    assert read_span_table(spark, p).count() == 5
+
+    if not _iceberg_available(spark):
+        # prefix must still route to the table API (and fail there,
+        # not fall through to a parquet read of a bogus path)
+        with _pytest.raises(Exception):
+            read_span_table(spark, "iceberg:nosuch.catalog.table").count()
+        _pytest.skip("iceberg runtime jar not on classpath in this sandbox")
+
+    spark.sql("CREATE TABLE IF NOT EXISTS local.db.spans_t (doc_id string)")
+    assert read_span_table(spark, "iceberg:local.db.spans_t") is not None
