@@ -14,12 +14,85 @@ execution modes; batch/stream parity is asserted by tests.
 
 from __future__ import annotations
 
+import threading
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
 
 from ..operators.extract import extract_pipeline
 from ..schema import DOCUMENTS_SPANS_SCHEMA
+
+
+@dataclass
+class StreamProgress:
+    """One micro-batch's progress (A16 streaming analog of the
+    reference's ``on_progress`` callback payload,
+    ``cloud_client.py:436-462``)."""
+
+    query_id: str
+    batch_id: int
+    num_input_rows: int
+    total_input_rows: int
+
+
+class ProgressRecorder(StreamingQueryListener):
+    """StreamingQueryListener that exposes the micro-batch progress
+    stream as data: each batch appends a ``StreamProgress`` with a
+    cumulative row count, so any observer sees monotone progress while
+    a long drain runs — the streaming counterpart of
+    ``pipeline.run(on_progress=...)``.
+
+    Attach/detach::
+
+        rec = ProgressRecorder.attach(spark)
+        try:  ... run streaming query ...
+        finally: rec.detach(spark)
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.events: list[StreamProgress] = []
+        self._totals: dict[str, int] = {}
+
+    @classmethod
+    def attach(cls, spark: SparkSession) -> "ProgressRecorder":
+        rec = cls()
+        spark.streams.addListener(rec)
+        return rec
+
+    def detach(self, spark: SparkSession) -> None:
+        spark.streams.removeListener(self)
+
+    # listener callbacks run on Spark's listener-bus thread
+    def onQueryStarted(self, event) -> None:  # noqa: D102
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: D102
+        p = event.progress
+        with self._lock:
+            qid = str(p.id)
+            total = self._totals.get(qid, 0) + int(p.numInputRows)
+            self._totals[qid] = total
+            self.events.append(
+                StreamProgress(
+                    query_id=qid,
+                    batch_id=int(p.batchId),
+                    num_input_rows=int(p.numInputRows),
+                    total_input_rows=total,
+                )
+            )
+
+    def onQueryIdle(self, event) -> None:  # noqa: D102
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: D102
+        pass
+
+    def snapshot(self) -> list[StreamProgress]:
+        with self._lock:
+            return list(self.events)
 
 
 def stream_extract(

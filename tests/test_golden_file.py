@@ -1,27 +1,35 @@
-"""Guard: the committed q32 golden parquet must stay in sync with the
+"""Guard: the committed golden parquets must stay in sync with the
 pure-pandas kernels. If a kernel or the synthesizer changes, this fails
 before the driver's hash gate does — fix by rerunning
 ``python tools/make_golden.py``."""
 
 from __future__ import annotations
 
+import importlib.util
 import os
 
 import pandas as pd
+import pytest
 
-from german_ocr_spark.golden import golden_extract
-from german_ocr_spark.synth import synth_docs
-
-GOLDEN = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "tests",
-    "golden",
-    "q32_spans.parquet",
+_spec = importlib.util.spec_from_file_location(
+    "german_ocr_make_golden",
+    os.path.join(
+        os.path.dirname(__file__), "..", "tools", "make_golden.py"
+    ),
 )
+make_golden = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(make_golden)
 
 
-def test_committed_golden_matches_kernels():
-    want = golden_extract(synth_docs(400, seed=42))
-    want = want[want["kind"].isin(["html", "pdf"])].reset_index(drop=True)
-    got = pd.read_parquet(GOLDEN)
+@pytest.mark.parametrize(
+    "name,builder",
+    [
+        ("q32_spans.parquet", "q32_golden"),
+        ("q38_summary.parquet", "q38_golden"),
+        ("q30_summary.parquet", "q30_golden"),
+    ],
+)
+def test_committed_golden_matches_kernels(name, builder):
+    want = getattr(make_golden, builder)()
+    got = pd.read_parquet(os.path.join(make_golden.GOLDEN_DIR, name))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -108,3 +108,40 @@ def test_stream_dedup_drops_replays(spark, tmp_path):
     # survivor is the first delivery of each id
     firsts = got.groupBy("doc_id").agg(F.min("ingest_ts").alias("ts")).collect()
     assert all(r.ts.second == int(r.doc_id[-4:]) % 60 or True for r in firsts)
+
+
+def test_stream_progress_listener(spark, tmp_path):
+    """A16 streaming progress: the listener surfaces one StreamProgress
+    per micro-batch with monotone cumulative row counts, mirroring the
+    reference's wait_for_result(on_progress=...) stream."""
+    import time as _time
+
+    from german_ocr_spark.streaming.incremental import ProgressRecorder
+
+    inp, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    docs_to_spark(spark, synth_docs(60, seed=5)).repartition(6).write.parquet(inp)
+
+    rec = ProgressRecorder.attach(spark)
+    try:
+        q = stream_extract(
+            spark, inp, out, ck, available_now=True, max_files_per_trigger=2
+        )
+        assert q.awaitTermination(300)
+        # listener delivery is async on the listener bus — poll until
+        # every batch's progress event has landed (total reaches 60)
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            evs = [e for e in rec.snapshot() if e.num_input_rows > 0]
+            if evs and evs[-1].total_input_rows == 60:
+                break
+            _time.sleep(0.5)
+    finally:
+        rec.detach(spark)
+
+    evs = [e for e in rec.snapshot() if e.num_input_rows > 0]
+    assert len(evs) >= 2  # maxFilesPerTrigger=2 over 6 files -> >=3 batches
+    totals = [e.total_input_rows for e in evs]
+    assert totals == sorted(totals)  # monotone progress
+    assert totals[-1] == 60  # every document accounted for
+    batch_ids = [e.batch_id for e in evs]
+    assert batch_ids == sorted(batch_ids)

@@ -129,9 +129,10 @@ def output_hash(path: str) -> tuple[int, str]:
         SELECT COUNT(*),
                md5(string_agg(
                  doc_id || '|' || "order" || '|' || kind || '|' || text
-                        || '|' || media_ref || '|' || coalesce(error, '<null>'),
+                        || '|' || media_ref || '|' || coalesce(error, '<null>')
+                        || '|' || coalesce(error_code, '<null>'),
                  chr(10) ORDER BY doc_id, "order"))
-        FROM '{path}/data/*.parquet'
+        FROM '{path}/data/**/*.parquet'
         """
     ).fetchone()
     return int(n), h
@@ -278,7 +279,7 @@ and manifest lineage commit (min of 2 runs).
 - target: extract scaling efficiency >= 0.8 between N and 4N
 - output bitwise-identical across ALL parallelism levels: **{s['output_bitwise_identical']}**
   ({s['output_rows']} span rows, order-insensitive md5 over
-  (doc_id, order, kind, text, media_ref, error))
+  (doc_id, order, kind, text, media_ref, error, error_code))
 - The 8->32 pair is additionally depressed by the sandbox artifact
   above: at 32 cores the 32 JVM task threads + 32 Python workers are
   the highest concurrent-allocation pressure this box can generate,
