@@ -130,52 +130,18 @@ def normalize_text(s: str) -> str:
     return s.strip()
 
 
-# ----- fused 5-pass kernel -------------------------------------------
-# The 17 sequential passes fuse into 5 (a ~3x allocation/scan saving on
-# the hot path) with provably identical output:
-#  p1  CR/CRLF normalization (standalone);
-#  p2  Fraktur + confusion rules fused by alternation — legal because no
-#      rule's output creates or destroys a later-in-pass match (ß, s,
-#      sch, und contain no triggers) and leftmost-first alternation
-#      reproduces the ſs-before-ſ priority;
-#  p3  de-hyphenation (interacts with p2 output and p4 input: must stay
-#      its own pass, same position in the order);
-#  p4  umlaut digraphs fused by alternation — \bAe produces Ä which is
-#      neither a consonant nor a digraph trigger, so no cross-creation;
-#  p5  \n → ' ' then [ \t]+ → ' ' fuses to [\n \t]+ → ' ' (any mixed
-#      whitespace run collapses to one space either way).
-# test_german.py cross-checks this against normalize_text on the full
-# corruption space.
-_P1 = re.compile(r"\r\n?")
-_P2 = re.compile(_py_pattern(r"ſs|ſ|fch|Fch|\bnnd\b|\bNnd\b"))
-_P2_MAP = {"ſs": "ß", "ſ": "s", "fch": "sch", "Fch": "Sch",
-           "nnd": "und", "Nnd": "Und"}
-_P3 = re.compile(r"([A-Za-zÄÖÜäöüß])-\n([a-zäöüß])")
-_P4 = re.compile(_py_pattern(rf"\bAe|\bOe|\bUe|([{_CONS}])(?:ae|oe|ue)"))
-_P4_INIT = {"Ae": "Ä", "Oe": "Ö", "Ue": "Ü"}
-_P4_POST = {"ae": "ä", "oe": "ö", "ue": "ü"}
-_P5 = re.compile(r"[\n \t]+")
-
-
-def _p2_sub(m: re.Match) -> str:
-    return _P2_MAP[m.group(0)]
-
-
-def _p4_sub(m: re.Match) -> str:
-    g1 = m.group(1)
-    if g1 is None:
-        return _P4_INIT[m.group(0)]
-    return g1 + _P4_POST[m.group(0)[-2:]]
-
-
-def _normalize_series_fused(s):
-    """Fused 5-pass Python-regex fallback (see fusion proof above)."""
+def _normalize_series_sequential(s):
+    """Python-regex fallback: the RULES chain applied literally, one
+    ``Series.str.replace`` pass per rule — identical to
+    ``normalize_text`` by construction. (An earlier 5-pass "fused"
+    fallback broke its own fusion proof once \\b became ASCII
+    lookarounds: fusing the ſ-rules with the ``nnd`` rules lets the
+    lookaround see the pre-ſ→s text, so ``Bünndſ`` diverged. The
+    fallback only exists for pyarrow-less hosts, where correctness
+    beats the ~2x pass saving — keep it literal.)"""
     out = s.fillna("")
-    out = out.str.replace(_P1, "\n", regex=True)
-    out = out.str.replace(_P2, _p2_sub, regex=True)
-    out = out.str.replace(_P3, r"\1\2", regex=True)
-    out = out.str.replace(_P4, _p4_sub, regex=True)
-    out = out.str.replace(_P5, " ", regex=True)
+    for pat, repl in _COMPILED:
+        out = out.str.replace(pat, repl, regex=True)
     out = out.str.strip()
     return out.where(~s.isna(), None)
 
@@ -212,14 +178,15 @@ def _normalize_series_arrow(s):
 def normalize_series(s):
     """Vectorized pandas kernel: Series[str] → Series[str].
 
-    Arrow/RE2 when available (the default in this environment), fused
-    5-pass Python-regex otherwise; both equal the literal rule chain
-    (``normalize_text``) — asserted by the brute-force and hypothesis
-    suites. This is the 'ocr' kernel the pipeline runs inside
-    mapInPandas (SURVEY B7/B16)."""
+    Arrow/RE2 when available (the default in this environment),
+    literal sequential Python-regex otherwise; both equal the rule
+    chain (``normalize_text``) — asserted by the brute-force and
+    hypothesis suites, which exercise BOTH paths explicitly. This is
+    the 'ocr' kernel the pipeline runs inside mapInPandas (SURVEY
+    B7/B16)."""
     if _HAS_ARROW_RE2:
         return _normalize_series_arrow(s)
-    return _normalize_series_fused(s)
+    return _normalize_series_sequential(s)
 
 
 def normalize_col(col: Column) -> Column:

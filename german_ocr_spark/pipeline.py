@@ -119,6 +119,23 @@ def run(
 
     gid = lin.job_group_id(snapshot_id)
     _cancelled_groups.discard(gid)  # a fresh run supersedes old intent
+    if groups:
+        # durably clear outstanding cancel intent so a poller doesn't
+        # see a live resumed run as 'cancelled' (one 'resumed' row per
+        # unmatched 'cancelled' row; see lin.mark_resumed)
+        try:
+            ldf = lin.read_lineage(spark, output_dir)
+            counts = ldf.groupBy("status").count().collect()
+            by = {r["status"]: r["count"] for r in counts}
+            outstanding = int(by.get("cancelled", 0)) - int(
+                by.get("resumed", 0)
+            )
+        except Exception:
+            outstanding = 0
+        if outstanding > 0:
+            lin.mark_resumed(
+                spark, output_dir, snapshot_id, committed_at, n=outstanding
+            )
     sc = spark.sparkContext
     sc.setJobGroup(
         gid,
@@ -236,16 +253,24 @@ def status(
                 F.sum(
                     F.when(F.col("status") == "committed", F.col("error_count"))
                 ).alias("e"),
-                F.max(F.when(F.col("status") == "cancelled", 1)).alias("c"),
+                F.sum(
+                    F.when(F.col("status") == "cancelled", 1).otherwise(0)
+                ).alias("c"),
+                F.sum(
+                    F.when(F.col("status") == "resumed", 1).otherwise(0)
+                ).alias("r"),
                 F.max("snapshot_id").alias("snap"),
             )
         ).collect()[0]
     except Exception:
         return JobStatus("", "pending", 0, n_buckets, 0, 0, 0)
     buckets_done = int(agg.b or 0)
+    # cancelled iff cancel rows outnumber resume rows (a resumed run
+    # durably clears intent at start — see lin.mark_resumed)
+    cancelled_outstanding = int(agg.c or 0) > int(agg.r or 0)
     if buckets_done >= n_buckets:
         st = "completed"
-    elif agg.c:
+    elif cancelled_outstanding:
         st = "cancelled"
     elif buckets_done > 0:
         st = "processing"
@@ -274,6 +299,11 @@ def read_output(spark: SparkSession, output_dir: str) -> DataFrame:
         from .schema import EXTRACTED_SPAN_SCHEMA
 
         return spark.createDataFrame([], schema=EXTRACTED_SPAN_SCHEMA)
-    return spark.read.parquet(*files).select(
+    df = spark.read.parquet(*files)
+    if "error_code" not in df.columns:
+        # tables committed before the error_code column existed stay
+        # readable (legacy layouts are supported everywhere else too)
+        df = df.withColumn("error_code", F.lit(None).cast("string"))
+    return df.select(
         "doc_id", "order", "kind", "text", "media_ref", "error", "error_code"
     )

@@ -27,8 +27,16 @@ Object-store safety: each commit group writes into its OWN subdirectory
 ``data/<snapshot>-g<first_bucket>/`` and its manifest is the listing of
 that exclusively-owned directory via the Hadoop FileSystem API (which
 resolves to local FS, HDFS, s3a, gs, ... from the path scheme) — there
-is no before/after diff of a shared directory, so concurrent writers to
-one output table can never race each other's manifests.
+is no before/after diff of a shared directory.
+
+Concurrency contract: a ``snapshot_id`` is a SINGLE-WRITER token.
+Writers with DISTINCT snapshot_ids never touch each other's subdirs or
+manifests and are fully safe concurrently. Two live writers sharing one
+snapshot_id is double submission — the same conflict an Iceberg
+optimistic commit would reject — and its outcome is undefined here
+(the overwrite that lets a rerun self-clean a killed attempt's orphans
+would clobber the racing twin's files). Resume after a kill or cancel
+is the supported single-writer rerun path.
 """
 
 from __future__ import annotations
@@ -177,11 +185,13 @@ def commit_bucket_group(
     undercount documents (span/error counts stay exact either way).
 
     The write is shuffle-free (map tasks append flat files) and lands in
-    a subdirectory owned exclusively by this commit group
+    a subdirectory owned exclusively by this (snapshot, group) commit
     (``data/<snapshot>-g<first_bucket>/``): the manifest is the Hadoop-FS
-    listing of that one directory, so concurrent writers to the same
-    output table can never contaminate each other's manifests and no
-    shared-directory before/after diff exists anywhere.
+    listing of that one directory, so no shared-directory before/after
+    diff exists anywhere and DISTINCT-snapshot writers can never
+    contaminate each other's manifests. A snapshot_id is a
+    single-writer token — see the module docstring's concurrency
+    contract for the double-submission caveat.
     """
     from pyspark.sql import Observation
 
@@ -240,6 +250,20 @@ def commit_bucket_group(
     )
 
 
+def _control_rows(
+    spark: SparkSession,
+    output_dir: str,
+    snapshot_id: str,
+    status: str,
+    at: str,
+    n: int = 1,
+) -> None:
+    rows = [(snapshot_id, CONTROL_BUCKET, 0, 0, 0, status, at, [])] * n
+    spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(lineage_path(output_dir))
+
+
 def mark_cancelled(
     spark: SparkSession,
     output_dir: str,
@@ -250,9 +274,20 @@ def mark_cancelled(
     written by killed tasks stays orphaned (invisible to manifest
     readers, reclaimed by ``vacuum``); committed buckets remain
     committed, so a later rerun resumes exactly where the cancel cut."""
-    rows = [
-        (snapshot_id, CONTROL_BUCKET, 0, 0, 0, "cancelled", cancelled_at, [])
-    ]
-    spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).coalesce(1).write.mode(
-        "append"
-    ).parquet(lineage_path(output_dir))
+    _control_rows(spark, output_dir, snapshot_id, "cancelled", cancelled_at)
+
+
+def mark_resumed(
+    spark: SparkSession,
+    output_dir: str,
+    snapshot_id: str,
+    at: str,
+    n: int = 1,
+) -> None:
+    """Clear outstanding cancellation intent: appended by a new ``run``
+    that picks the job back up, one 'resumed' row per unmatched
+    'cancelled' row. Lineage rows are append-only and unordered, so the
+    cancelled/resumed relationship is ARITHMETIC, not positional —
+    ``status()`` reports cancelled iff cancelled rows outnumber resumed
+    rows (and the job is not complete)."""
+    _control_rows(spark, output_dir, snapshot_id, "resumed", at, n=n)

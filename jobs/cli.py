@@ -95,9 +95,9 @@ def main(argv: list[str] | None = None, stop: bool = True) -> int:
     p.add_argument("--batch", action="store_true",
                    help="treat input as a directory of media files (cli.py --batch)")
     p.add_argument("--format", type=str.lower, choices=FORMATS,
-                   default="markdown",
-                   help="output shape (default: markdown blocks); 'md' "
-                        "is an alias for markdown")
+                   default=None,
+                   help="output shape (default: markdown blocks; json "
+                        "when --structured); 'md' is an alias for markdown")
     p.add_argument("--structured", action="store_true",
                    help="parse span text as typed ExtractionResult rows")
     p.add_argument("--output", help="output directory (distributed write)")
@@ -114,6 +114,10 @@ def main(argv: list[str] | None = None, stop: bool = True) -> int:
         return 0
     if not args.input or not args.output:
         p.error("input and --output are required unless --list-kernels")
+    if args.format is None:
+        # bare --structured defaults to its only sensible shape instead
+        # of erroring on the markdown default
+        args.format = "json" if args.structured else "markdown"
     fmt = normalize_format(args.format)
     if args.structured and fmt not in ("json", "n8n"):
         # typed rows only have JSON-shaped outputs; the old behavior
@@ -187,15 +191,25 @@ def main(argv: list[str] | None = None, stop: bool = True) -> int:
         )
     elif fmt == "html":
         # html route (ollama_backend.py:118): per-document <article>
-        # with one <p> per ordered span
+        # with one <p> per ordered span; doc ids and span text are
+        # HTML-escaped (& first, then < > ") so corpus text containing
+        # markup can't break or inject into the output structure
+        def esc(col):
+            out = F.regexp_replace(col, "&", "&amp;")
+            out = F.regexp_replace(out, "<", "&lt;")
+            out = F.regexp_replace(out, ">", "&gt;")
+            return F.regexp_replace(out, '"', "&quot;")
+
         paras = F.transform(
-            F.sort_array(F.collect_list(F.struct("order", "text"))),
+            F.sort_array(
+                F.collect_list(F.struct("order", esc(F.col("text")).alias("text")))
+            ),
             lambda s: F.concat(F.lit("<p>"), s.text, F.lit("</p>")),
         )
         blocks = extracted.groupBy("doc_id").agg(
             F.concat(
                 F.lit('<article data-doc="'),
-                F.col("doc_id"),
+                esc(F.col("doc_id")),
                 F.lit('">'),
                 F.array_join(paras, ""),
                 F.lit("</article>"),

@@ -127,6 +127,32 @@ def test_structured_n8n_output(spark, tmp_path):
     assert json.loads(payload["result_json"])["success"] is True
 
 
+def test_bare_structured_defaults_to_json(spark, tmp_path):
+    inv = json.dumps({"type": "invoice", "invoice_number": "R-3003"})
+    docs = docs_to_spark(spark, [("doc-json", [("ocr", inv, "", 0)])])
+    src = str(tmp_path / "src.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "bare")
+    # no --format: --structured must default to json, not error on the
+    # markdown default
+    assert _run_cli([src, "--structured", "--output", out]) == 0
+    rows = spark.read.json(out)
+    assert {"doc_id", "result_json"} <= set(rows.columns)
+
+
+def test_html_output_escapes_markup(spark, tmp_path):
+    docs = docs_to_spark(
+        spark, [('doc"x', [("text", 'a <b>&amp;</b> "q"', "", 0)])]
+    )
+    src = str(tmp_path / "src.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "esc")
+    assert _run_cli([src, "--format", "html", "--output", out]) == 0
+    line = [r.value for r in spark.read.text(out).collect()][0]
+    assert 'data-doc="doc&quot;x"' in line
+    assert "<p>a &lt;b&gt;&amp;amp;&lt;/b&gt; &quot;q&quot;</p>" in line
+
+
 def test_structured_rejects_non_json_formats(span_table, tmp_path):
     with pytest.raises(SystemExit):
         _run_cli(

@@ -57,20 +57,34 @@ def test_duckdb_parity():
     assert got == [normalize_text(x) for x in raw]
 
 
-def test_fused_kernel_equals_rule_chain_brute_force():
-    """The fused 5-pass normalize_series must equal the literal 17-pass
-    rule chain (normalize_text) on dense random corruption soup —
-    guards every fusion-equivalence argument in german.py."""
+def _corruption_soup(n=3000, seed=1234):
     import random
 
     alphabet = list("aefnsochABFNSOUdu ſß-\n\r\t") + ["ae", "oe", "ue", "Ae",
                     "Ue", "fch", "nnd", "ſs", "-\n", "\r\n", "sch", "und"]
-    rng = random.Random(1234)
-    raws = [
+    rng = random.Random(seed)
+    return [
         "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
-        for _ in range(3000)
+        for _ in range(n)
     ]
-    got = normalize_series(pd.Series(raws, dtype=object)).tolist()
+
+
+@pytest.mark.parametrize("kernel_name", [
+    "normalize_series",            # the dispatching default (Arrow here)
+    "_normalize_series_arrow",     # RE2 fast path, pinned explicitly
+    "_normalize_series_sequential",  # pyarrow-less fallback
+])
+def test_every_kernel_path_equals_rule_chain_brute_force(kernel_name):
+    """EVERY normalize kernel path must equal the literal rule chain
+    (normalize_text) on dense random corruption soup — including the
+    fallback that normal runs never dispatch to (a fused fallback once
+    silently diverged exactly because only the default path was
+    exercised)."""
+    from german_ocr_spark.functions import german as g
+
+    kernel = getattr(g, kernel_name)
+    raws = _corruption_soup()
+    got = kernel(pd.Series(raws, dtype=object)).tolist()
     want = [normalize_text(x) for x in raws]
     assert got == want
 

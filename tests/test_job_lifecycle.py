@@ -68,6 +68,26 @@ def test_status_transitions(spark, docs, tmp_path):
     assert pipeline.status(spark, out, n_buckets=4).status == "completed"
 
 
+def test_resumed_run_clears_cancel_intent(spark, docs, tmp_path):
+    """A cancelled job that is resumed must report 'processing' while
+    the resume is mid-flight, not 'cancelled' — the resumed run durably
+    clears outstanding cancel intent at start."""
+    out = str(tmp_path / "out")
+    sdf = docs_to_spark(spark, docs)
+    pipeline.run(spark, sdf, out, n_buckets=4, bucket_group_size=1, max_groups=1)
+    assert pipeline.cancel(spark, out, snapshot_id="snap-0001")
+    assert pipeline.status(spark, out, n_buckets=4).status == "cancelled"
+    # resume one more group, then stop — mid-flight from a poller's view
+    pipeline.run(spark, sdf, out, n_buckets=4, bucket_group_size=1, max_groups=1)
+    assert pipeline.status(spark, out, n_buckets=4).status == "processing"
+    # a second cancel re-establishes intent
+    assert pipeline.cancel(spark, out, snapshot_id="snap-0001")
+    assert pipeline.status(spark, out, n_buckets=4).status == "cancelled"
+    # and a final resume completes the job
+    pipeline.run(spark, sdf, out, n_buckets=4)
+    assert pipeline.status(spark, out, n_buckets=4).status == "completed"
+
+
 def test_cancel_swallows_errors_to_false():
     class Broken:
         @property
