@@ -100,10 +100,8 @@ def extract_main_content(nodes: pd.DataFrame) -> pd.Series:
     new_span = np.r_[True, span_arr[1:] != span_arr[:-1]]
     new_block = np.r_[True, block_arr[1:] != block_arr[:-1]] | new_span
     sep = np.where(new_span, "", np.where(new_block, "\n", " "))
-    from .util import group_join
-
-    piece = (pd.Series(sep, index=sub.index, dtype=object) + sub["text"]).to_numpy()
-    joined = group_join(span_arr, piece, "")
+    piece = pd.Series(sep, index=sub.index, dtype=object) + sub["text"]
+    joined = piece.groupby(span_arr).agg("".join)
     # Spans whose blocks were all boilerplate still yield '' (not missing).
     all_spans = blocks["span_idx"].drop_duplicates()
     return joined.reindex(all_spans.to_numpy(), fill_value="")

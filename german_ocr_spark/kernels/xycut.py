@@ -128,16 +128,8 @@ def extract_pdf_text(blocks: pd.DataFrame) -> pd.Series:
     """Block frame → Series indexed by span_idx: block texts joined by
     '\\n' in reading order (hyphenation '-\\n' joints survive for the
     German de-hyphenation pass, SURVEY B7)."""
-    from .util import group_join
-
     if blocks.empty:
         return pd.Series([], dtype=object)
     ordered = reading_order(blocks)
-    texts = ordered["text"].fillna("").to_numpy()
-    spans = ordered["span_idx"].to_numpy()
-    # reading_order emits global (span, page, in-page) order, but sort
-    # defensively by span (stable) to keep group_join's contract local
-    order = np.argsort(spans, kind="stable")
-    out = group_join(spans[order], texts[order], "\n")
-    out.index.name = "span_idx"
-    return out
+    ordered["text"] = ordered["text"].fillna("")
+    return ordered.groupby("span_idx", sort=True)["text"].agg("\n".join)
