@@ -173,6 +173,131 @@ def stream_windowed_rates(
     )
 
 
+SESSION_GAP_SECONDS = 1800  # same gap as the batch sessionizer (q09)
+
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+# state = (session_start_epoch, last_event_epoch, n_events) for the one
+# open session per user — O(1) per key, independent of session length
+_SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def _sessionize_with_state(gap_seconds: int):
+    """Build the per-group stateful function for
+    ``applyInPandasWithState``: custom session windows (gap-based, like
+    the batch q09 sessionizer) maintained across micro-batches.
+
+    Why not ``F.session_window``: this is the engine's demonstration of
+    a CUSTOM stateful streaming operator — arbitrary per-key state with
+    event-time timeouts — the escape hatch for semantics Spark's
+    built-in stateful ops don't cover (the reference's long-poll job
+    state machine, ``cloud_client.py:415-462``, is exactly such a
+    shape). The state is a 3-tuple per user; a session closes when a
+    later event arrives past the gap, or when the event-time watermark
+    passes ``last_event + gap`` (timeout), so state stays bounded
+    forever on an unbounded stream."""
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        user_id = int(key[0])
+        closed: list[tuple[int, int, int]] = []
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            closed.append((start, last, n))
+        else:
+            ts: list[int] = []
+            for pdf in pdf_iter:
+                # normalize to ns first: Arrow may hand the batch over
+                # as datetime64[us], where a bare int64 view would be
+                # microseconds and silently shift every session
+                epoch = (
+                    pdf["ts"].astype("datetime64[ns]").astype("int64")
+                    // 1_000_000_000
+                )
+                ts.extend(epoch.tolist())
+            ts.sort()
+            start = last = n = None
+            if state.exists:
+                start, last, n = state.get
+            for t in ts:
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_seconds:
+                    closed.append((start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = max(last, t), n + 1
+            if start is not None:
+                state.update((start, last, n))
+                # event-time timeout: fires once the watermark passes
+                # the open session's gap horizon (milliseconds epoch)
+                state.setTimeoutTimestamp((last + gap_seconds) * 1000)
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": pd.to_datetime(
+                        [c[0] for c in closed], unit="s"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [c[1] for c in closed], unit="s"
+                    ),
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    watermark: str = "30 minutes",
+    schema: str = "event_id long, user_id long, event_type string, "
+    "ts timestamp, value double, props string",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    gap-based sessionization of the event stream, the streaming twin of
+    the batch q09 sessionizer. Emits one row per CLOSED session (closed
+    by a later event past the gap, or by event-time timeout when the
+    watermark passes the gap horizon). Scale shape: state is O(1) per
+    active user, partitioned by the groupBy key across executors;
+    late events inside the watermark still extend their session."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(input_dir)
+    sessions = (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_with_state(gap_seconds),
+            _SESSION_OUT_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_dedup(
     spark: SparkSession,
     input_dir: str,

@@ -110,6 +110,92 @@ def test_stream_dedup_drops_replays(spark, tmp_path):
     assert all(r.ts.second == int(r.doc_id[-4:]) % 60 or True for r in firsts)
 
 
+def test_stream_sessionize_custom_stateful_operator(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions emitted
+    across micro-batch boundaries must equal an independent single-node
+    sessionization of the same events (the batch q09 semantics). Open
+    sessions are flushed by event-time TIMEOUT once sentinel events
+    push the watermark past every gap horizon — the state never needs
+    a final 'drain' pass, which is what makes it run forever."""
+    from german_ocr_spark.streaming.incremental import stream_sessionize
+
+    inp = str(tmp_path / "se_in")
+    out = str(tmp_path / "se_out")
+    ckpt = str(tmp_path / "se_ckpt")
+    schema = ("event_id long, user_id long, event_type string, ts timestamp, "
+              "value double, props string")
+    base = dt.datetime(2024, 3, 1, 8, 0, 0)
+
+    # 5 users; per-user event streams with >30min holes => multiple sessions
+    rows = []
+    eid = 0
+    for u in range(5):
+        t = base + dt.timedelta(minutes=u)
+        for i in range(40):
+            # every 10th event jumps 45min (new session); else 3min steps
+            t = t + dt.timedelta(minutes=45 if i % 10 == 9 else 3)
+            rows.append((eid, u, "click", t, 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(inp)
+
+    q = stream_sessionize(spark, inp, out, ckpt)
+    assert q.awaitTermination(300)
+
+    # sentinel far-future events advance the global watermark; the
+    # second sentinel batch gives timeouts a batch to fire in
+    far = max(r[3] for r in rows) + dt.timedelta(days=2)
+    for k in (0, 1):
+        spark.createDataFrame(
+            [(10_000 + k, 999, "noop", far + dt.timedelta(hours=k), 0.0, "{}")],
+            schema,
+        ).write.mode("append").parquet(inp)
+        q = stream_sessionize(spark, inp, out, ckpt)
+        assert q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") < 999)
+        .orderBy("user_id", "session_start")
+        .toPandas()
+    )
+
+    # independent single-node expectation (plain python, no Spark)
+    import collections
+    utc = dt.timezone.utc
+    by_user = collections.defaultdict(list)
+    for _, u, _, t, _, _ in rows:
+        # naive datetimes above are session-timezone (UTC) wall clock;
+        # pin UTC so the epoch math is host-timezone-independent
+        by_user[u].append(int(t.replace(tzinfo=utc).timestamp()))
+    expected = []
+    for u, ts in sorted(by_user.items()):
+        ts.sort()
+        start = last = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - last > 1800:
+                expected.append((u, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        expected.append((u, start, last, n))
+
+    got_tuples = [
+        (
+            int(r.user_id),
+            int(r.session_start.timestamp()),
+            int(r.session_end.timestamp()),
+            int(r.n_events),
+        )
+        for r in got.itertuples()
+    ]
+    assert got_tuples == expected
+    # 40 events, a 45min hole after events 9/19/29/39 => sessions of
+    # 9+10+10+10 events plus a trailing 1-event session = 5 per user
+    assert len([e for e in expected if e[0] == 0]) == 5
+    assert sum(e[3] for e in expected if e[0] == 0) == 40
+
+
 def test_stream_progress_listener(spark, tmp_path):
     """A16 streaming progress: the listener surfaces one StreamProgress
     per micro-batch with monotone cumulative row counts, mirroring the
