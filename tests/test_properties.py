@@ -88,3 +88,113 @@ def test_normalize_null_passthrough(bad):
     out = normalize_series(pd.Series([bad, "ok"], dtype=object))
     assert out.iloc[0] is None or pd.isna(out.iloc[0])
     assert out.iloc[1] == "ok"
+
+
+# ---------------------------------------------------------------------
+# Stateful streaming sessionizer: batch-split invariance
+# ---------------------------------------------------------------------
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark's GroupState exposing exactly the
+    surface _sessionize_with_state uses."""
+
+    def __init__(self) -> None:
+        self._value = None
+        self.hasTimedOut = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self) -> bool:
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v) -> None:
+        self._value = tuple(v)
+
+    def remove(self) -> None:
+        self._value = None
+
+    def setTimeoutTimestamp(self, ms: int) -> None:
+        self.timeout_ms = ms
+
+
+def _drive_sessionizer(epochs: list[int], cuts: list[int], gap: int):
+    """Feed the per-group stateful fn the time-sorted events split into
+    consecutive micro-batches at ``cuts``, then fire the final timeout —
+    returns the emitted (start, end, n) session rows in order."""
+    import pandas as pd
+
+    from german_ocr_spark.streaming.incremental import _sessionize_with_state
+
+    fn = _sessionize_with_state(gap)
+    state = _FakeGroupState()
+    out: list[tuple[int, int, int]] = []
+
+    def feed(batch_epochs):
+        pdf = pd.DataFrame({"ts": pd.to_datetime(batch_epochs, unit="s")})
+        for res in fn((7,), iter([pdf] if len(batch_epochs) else []), state):
+            for r in res.itertuples():
+                out.append(
+                    (
+                        int(r.session_start.timestamp()),
+                        int(r.session_end.timestamp()),
+                        int(r.n_events),
+                    )
+                )
+
+    bounds = [0, *sorted(cuts), len(epochs)]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        feed(epochs[a:b])
+    if state.exists:
+        state.hasTimedOut = True
+        feed([])
+    return out
+
+
+def _sessions_reference(epochs: list[int], gap: int):
+    if not epochs:
+        return []
+    ts = sorted(epochs)
+    out = []
+    start = last = ts[0]
+    n = 1
+    for t in ts[1:]:
+        if t - last > gap:
+            out.append((start, last, n))
+            start, last, n = t, t, 1
+        else:
+            last, n = t, n + 1
+    out.append((start, last, n))
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50_000), min_size=0, max_size=60),
+    st.lists(st.integers(min_value=0, max_value=60), max_size=6),
+    st.integers(min_value=1, max_value=3600),
+)
+def test_sessionizer_invariant_under_batch_splits(epochs, cuts, gap):
+    """For ANY event set, ANY consecutive micro-batch split of its
+    time-sorted stream, and ANY gap, the stateful sessionizer emits
+    exactly the sessions a single-pass global sessionization produces —
+    the property that makes streaming output equal batch q09 semantics
+    regardless of how files/micro-batches slice the stream."""
+    ordered = sorted(epochs)
+    got = _drive_sessionizer(ordered, [c for c in cuts if c <= len(ordered)], gap)
+    assert got == _sessions_reference(epochs, gap)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50_000), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=3600),
+)
+def test_sessionizer_single_batch_equals_split_free_run(epochs, gap):
+    """Within one micro-batch events may arrive in ANY order (the fn
+    sorts); the emitted sessions must match the reference regardless."""
+    got = _drive_sessionizer(list(epochs), [], gap)
+    assert got == _sessions_reference(epochs, gap)
