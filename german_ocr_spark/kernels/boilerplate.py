@@ -95,6 +95,13 @@ def extract_main_content(nodes: pd.DataFrame) -> pd.Series:
     node_flag = np.repeat(is_content.to_numpy(), blocks["n"].to_numpy())
     keep = node_flag & (df["text_len"].to_numpy() > 0)
     sub = df[keep]
+    if sub.empty:
+        # every block in the batch was boilerplate (possible in small /
+        # streaming micro-batches): each span still yields '' text —
+        # without this guard the length-1 np.r_ seed below cannot align
+        # with the 0-row frame and the task would die on clean data
+        all_spans = blocks["span_idx"].drop_duplicates()
+        return pd.Series("", index=pd.Index(all_spans.to_numpy()), dtype=object)
     span_arr = sub["span_idx"].to_numpy()
     block_arr = sub["block_id"].to_numpy()
     new_span = np.r_[True, span_arr[1:] != span_arr[:-1]]

@@ -178,9 +178,29 @@ SESSION_GAP_SECONDS = 1800  # same gap as the batch sessionizer (q09)
 _SESSION_OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, n_events long"
 )
-# state = (session_start_epoch, last_event_epoch, n_events) for the one
-# open session per user — O(1) per key, independent of session length
-_SESSION_STATE_SCHEMA = "start long, last long, n long"
+# state = the user's OPEN session intervals as parallel arrays of
+# (start_epoch, last_epoch, n_events), sorted by start and pairwise
+# separated by > gap. Normally length 1; out-of-order arrivals within
+# the watermark can briefly hold several until a bridging event or the
+# watermark merges/closes them — state stays O(open intervals), never
+# O(events).
+_SESSION_STATE_SCHEMA = "starts array<long>, lasts array<long>, ns array<long>"
+
+
+def _merge_session_atoms(atoms: list[list[int]], gap: int) -> list[list[int]]:
+    """Merge (start, last, n) interval atoms under the gap rule: two
+    atoms belong to one session iff the later one starts within ``gap``
+    of the earlier one's last event (matching the batch q09 split rule
+    ``t - last > gap`` exactly)."""
+    atoms.sort()
+    out: list[list[int]] = []
+    for s, last, n in atoms:
+        if out and s - out[-1][1] <= gap:
+            out[-1][1] = max(out[-1][1], last)
+            out[-1][2] += n
+        else:
+            out.append([s, last, n])
+    return out
 
 
 def _sessionize_with_state(gap_seconds: int):
@@ -193,22 +213,29 @@ def _sessionize_with_state(gap_seconds: int):
     event-time timeouts — the escape hatch for semantics Spark's
     built-in stateful ops don't cover (the reference's long-poll job
     state machine, ``cloud_client.py:415-462``, is exactly such a
-    shape). The state is a 3-tuple per user; a session closes when a
-    later event arrives past the gap, or when the event-time watermark
-    passes ``last_event + gap`` (timeout), so state stays bounded
-    forever on an unbounded stream."""
+    shape).
+
+    Correctness model: every event (in any arrival order — Spark only
+    guarantees events are never older than the watermark) is an interval
+    atom; atoms merge under the gap rule; an interval is emitted ONLY
+    when the watermark passes its gap horizon (``last + gap``), at which
+    point no admissible future event can extend or bridge it. That makes
+    the emitted sessions equal to a single-pass batch sessionization of
+    the full stream, independent of micro-batch slicing and of
+    within-watermark reordering (property-tested in
+    ``tests/test_properties.py``). Eager gap-closing WITHIN a batch
+    would be wrong: a later micro-batch may legally deliver an earlier
+    event that splits or re-shapes the interval."""
     import pandas as pd
 
     def fn(key, pdf_iter, state):
         user_id = int(key[0])
-        closed: list[tuple[int, int, int]] = []
 
-        if state.hasTimedOut:
-            start, last, n = state.get
-            state.remove()
-            closed.append((start, last, n))
-        else:
-            ts: list[int] = []
+        atoms: list[list[int]] = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            atoms = [[int(s), int(l), int(n)] for s, l, n in zip(starts, lasts, ns)]
+        if not state.hasTimedOut:
             for pdf in pdf_iter:
                 # normalize to ns first: Arrow may hand the batch over
                 # as datetime64[us], where a bare int64 view would be
@@ -217,24 +244,28 @@ def _sessionize_with_state(gap_seconds: int):
                     pdf["ts"].astype("datetime64[ns]").astype("int64")
                     // 1_000_000_000
                 )
-                ts.extend(epoch.tolist())
-            ts.sort()
-            start = last = n = None
-            if state.exists:
-                start, last, n = state.get
-            for t in ts:
-                if start is None:
-                    start, last, n = t, t, 1
-                elif t - last > gap_seconds:
-                    closed.append((start, last, n))
-                    start, last, n = t, t, 1
-                else:
-                    last, n = max(last, t), n + 1
-            if start is not None:
-                state.update((start, last, n))
-                # event-time timeout: fires once the watermark passes
-                # the open session's gap horizon (milliseconds epoch)
-                state.setTimeoutTimestamp((last + gap_seconds) * 1000)
+                atoms.extend([int(t), int(t), 1] for t in epoch)
+        open_ = _merge_session_atoms(atoms, gap_seconds)
+
+        wm_ms = state.getCurrentWatermarkMs()
+        closed = [a for a in open_ if (a[1] + gap_seconds) * 1000 < wm_ms]
+        still = [a for a in open_ if (a[1] + gap_seconds) * 1000 >= wm_ms]
+
+        if still:
+            state.update(
+                (
+                    [a[0] for a in still],
+                    [a[1] for a in still],
+                    [a[2] for a in still],
+                )
+            )
+            # event-time timeout: fire once the watermark passes the
+            # earliest open interval's gap horizon (must stay strictly
+            # above the current watermark or Spark rejects it)
+            horizon_ms = (still[0][1] + gap_seconds) * 1000
+            state.setTimeoutTimestamp(max(horizon_ms, wm_ms + 1))
+        else:
+            state.remove()
 
         if closed:
             yield pd.DataFrame(
@@ -266,11 +297,14 @@ def stream_sessionize(
 ) -> StreamingQuery:
     """Custom stateful streaming operator (``applyInPandasWithState``):
     gap-based sessionization of the event stream, the streaming twin of
-    the batch q09 sessionizer. Emits one row per CLOSED session (closed
-    by a later event past the gap, or by event-time timeout when the
-    watermark passes the gap horizon). Scale shape: state is O(1) per
-    active user, partitioned by the groupBy key across executors;
-    late events inside the watermark still extend their session."""
+    the batch q09 sessionizer. Emits one row per CLOSED session — an
+    interval closes exactly when the event-time watermark passes its
+    gap horizon (``last + gap``), either on a data batch or via the
+    event-time timeout, so the output is batch-identical regardless of
+    micro-batch slicing and within-watermark reordering (late events
+    inside the watermark extend, split, or bridge their session
+    correctly). Scale shape: state is O(open intervals) ≈ O(1) per
+    active user, partitioned by the groupBy key across executors."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     reader = spark.readStream.schema(schema)

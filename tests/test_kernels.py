@@ -94,3 +94,24 @@ def test_parse_malformed_isolation():
     rows, bad_spans = parse.parse_html_nodes(s)
     assert bad_spans.tolist() == [11]
     assert set(rows["span_idx"]) == {10}
+
+
+def test_boilerplate_all_boiler_batch_yields_empty_strings():
+    """A batch whose every block is boilerplate (nav/footer/link-dense)
+    must yield '' per span, not crash — small or streaming micro-batches
+    hit this shape on clean data."""
+    nodes = _nodes(
+        [
+            (0, 0, "nav", 0, "Home Kontakt"),
+            (0, 1, "footer", 1, "Impressum Datenschutz AGB"),
+            (1, 0, "a", 0, "nur Links hier"),
+        ]
+    )
+    content = boilerplate.extract_main_content(nodes)
+    assert list(content.index) == [0, 1]
+    assert list(content) == ["", ""]
+
+
+def test_boilerplate_empty_frame():
+    content = boilerplate.extract_main_content(_nodes([]))
+    assert len(content) == 0

@@ -102,6 +102,7 @@ class _FakeGroupState:
         self._value = None
         self.hasTimedOut = False
         self.timeout_ms = None
+        self.watermark_ms = 0
 
     @property
     def exists(self) -> bool:
@@ -118,13 +119,21 @@ class _FakeGroupState:
         self._value = None
 
     def setTimeoutTimestamp(self, ms: int) -> None:
+        assert ms > self.watermark_ms, "Spark rejects timeouts <= watermark"
         self.timeout_ms = ms
 
+    def getCurrentWatermarkMs(self) -> int:
+        return self.watermark_ms
 
-def _drive_sessionizer(epochs: list[int], cuts: list[int], gap: int):
-    """Feed the per-group stateful fn the time-sorted events split into
-    consecutive micro-batches at ``cuts``, then fire the final timeout —
-    returns the emitted (start, end, n) session rows in order."""
+
+def _drive_sessionizer(batches: list[list[int]], gap: int, wm_delay_s: int | None):
+    """Feed the per-group stateful fn the given micro-batches, modelling
+    Spark's watermark: after each batch the watermark advances to
+    (max event time seen) - delay (None = watermark never advances until
+    the final flush). Returns the emitted (start, end, n) rows sorted.
+
+    Mirrors Spark's contract: a batch's events are never older than the
+    watermark in force when the batch starts (enforced by assert)."""
     import pandas as pd
 
     from german_ocr_spark.streaming.incremental import _sessionize_with_state
@@ -145,13 +154,22 @@ def _drive_sessionizer(epochs: list[int], cuts: list[int], gap: int):
                     )
                 )
 
-    bounds = [0, *sorted(cuts), len(epochs)]
-    for a, b in zip(bounds[:-1], bounds[1:]):
-        feed(epochs[a:b])
-    if state.exists:
+    max_seen = None
+    for batch in batches:
+        assert all(t * 1000 >= state.watermark_ms for t in batch)
+        feed(batch)
+        if batch:
+            max_seen = max(max_seen or batch[0], *batch)
+        if wm_delay_s is not None and max_seen is not None:
+            state.watermark_ms = max(
+                state.watermark_ms, (max_seen - wm_delay_s) * 1000
+            )
+    # final flush: watermark passes everything (end of stream)
+    while state.exists:
+        state.watermark_ms = max(state.watermark_ms + 1, 2**40)
         state.hasTimedOut = True
         feed([])
-    return out
+    return sorted(out)
 
 
 def _sessions_reference(epochs: list[int], gap: int):
@@ -171,21 +189,50 @@ def _sessions_reference(epochs: list[int], gap: int):
     return out
 
 
+def _split(events: list[int], cuts: list[int]) -> list[list[int]]:
+    bounds = [0, *sorted(c for c in cuts if c <= len(events)), len(events)]
+    return [events[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
+
+
 @settings(max_examples=300, deadline=None)
 @given(
     st.lists(st.integers(min_value=0, max_value=50_000), min_size=0, max_size=60),
     st.lists(st.integers(min_value=0, max_value=60), max_size=6),
     st.integers(min_value=1, max_value=3600),
+    st.randoms(use_true_random=False),
 )
-def test_sessionizer_invariant_under_batch_splits(epochs, cuts, gap):
-    """For ANY event set, ANY consecutive micro-batch split of its
-    time-sorted stream, and ANY gap, the stateful sessionizer emits
-    exactly the sessions a single-pass global sessionization produces —
-    the property that makes streaming output equal batch q09 semantics
-    regardless of how files/micro-batches slice the stream."""
+def test_sessionizer_invariant_under_arbitrary_reordered_batches(
+    epochs, cuts, gap, rnd
+):
+    """For ANY event set, ANY micro-batch slicing of an ARBITRARY
+    permutation of the stream (events may arrive out of order across
+    batches), and ANY gap: with the watermark held back (delay = ∞, so
+    every arrival is admissible), the emitted sessions after the final
+    flush equal a single-pass global sessionization. This is the exact
+    contract Spark gives a stateful operator — events arrive in any
+    order but never older than the watermark — so interval-merging
+    state must reproduce batch q09 semantics under all of it."""
+    shuffled = list(epochs)
+    rnd.shuffle(shuffled)
+    got = _drive_sessionizer(_split(shuffled, cuts), gap, wm_delay_s=None)
+    assert got == sorted(_sessions_reference(epochs, gap))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50_000), min_size=0, max_size=60),
+    st.lists(st.integers(min_value=0, max_value=60), max_size=6),
+    st.integers(min_value=1, max_value=3600),
+    st.integers(min_value=0, max_value=5000),
+)
+def test_sessionizer_invariant_under_moving_watermark(epochs, cuts, gap, delay):
+    """Time-sorted consecutive batches with a REAL moving watermark
+    (advances to max-seen − delay after each batch, closing sessions
+    mid-stream via data batches and timeouts): the union of mid-stream
+    and flush emissions still equals the global sessionization."""
     ordered = sorted(epochs)
-    got = _drive_sessionizer(ordered, [c for c in cuts if c <= len(ordered)], gap)
-    assert got == _sessions_reference(epochs, gap)
+    got = _drive_sessionizer(_split(ordered, cuts), gap, wm_delay_s=delay)
+    assert got == sorted(_sessions_reference(epochs, gap))
 
 
 @settings(max_examples=100, deadline=None)
@@ -194,7 +241,7 @@ def test_sessionizer_invariant_under_batch_splits(epochs, cuts, gap):
     st.integers(min_value=1, max_value=3600),
 )
 def test_sessionizer_single_batch_equals_split_free_run(epochs, gap):
-    """Within one micro-batch events may arrive in ANY order (the fn
-    sorts); the emitted sessions must match the reference regardless."""
-    got = _drive_sessionizer(list(epochs), [], gap)
-    assert got == _sessions_reference(epochs, gap)
+    """Within one micro-batch events may arrive in ANY order; the
+    emitted sessions must match the reference regardless."""
+    got = _drive_sessionizer([list(epochs)], gap, wm_delay_s=None)
+    assert got == sorted(_sessions_reference(epochs, gap))
