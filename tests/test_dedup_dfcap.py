@@ -97,3 +97,34 @@ def test_jaccard_matches_brute_force(spark, skew_dir):
         for r in QUERIES["q18_ngram_jaccard_pairs"](spark, skew_dir).collect()
     }
     assert got == expected
+
+
+def test_connected_components_resolves_clusters(spark):
+    """A chain (a-b-c), a separate pair (d-e), and a diamond with a
+    redundant edge all collapse to their minimum doc_id; nodes only
+    connected transitively get the same label as direct neighbors."""
+    from german_ocr_spark.queries import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            ("b", "c"), ("a", "b"),          # chain, delivered out of order
+            ("d", "e"),                        # separate pair
+            ("w", "x"), ("x", "y"), ("w", "y"), ("y", "z"),  # diamond + tail
+        ],
+        "doc_a string, doc_b string",
+    )
+    got = {
+        (r.node, r.comp) for r in connected_components(edges).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("d", "d"), ("e", "d"),
+        ("w", "w"), ("x", "w"), ("y", "w"), ("z", "w"),
+    }
+
+
+def test_connected_components_empty_graph(spark):
+    from german_ocr_spark.queries import connected_components
+
+    edges = spark.createDataFrame([], "doc_a string, doc_b string")
+    assert connected_components(edges).count() == 0
