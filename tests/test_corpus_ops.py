@@ -1,0 +1,220 @@
+"""Planted-fixture semantics for the corpus-ops queries (q53–q58):
+passage dedup, interleaved audit, TF-IDF keywords, quality classifier,
+histogram percentiles, cube. The driver oracle gate proves parity on
+the live corpus; these tests prove the SEMANTICS on inputs constructed
+to hit the interesting cases (shared passages, planted violations,
+rare-word keywords, percentile interpolation against numpy)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from german_ocr_spark.queries import (
+    ORACLES,
+    PASSAGE_W,
+    QC_MOD,
+    QUERIES,
+    TFIDF_TOP_K,
+)
+from tools.validate_queries import compare
+
+
+def _write_docs(tmp_path, rows):
+    """rows: list of (doc_id, text, lang, source[, n_chars])."""
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    fixed = []
+    for r in rows:
+        r = list(r)
+        if len(r) == 4:
+            r.append(len(r[1]))
+        fixed.append(r)
+    pdf = pd.DataFrame(fixed, columns=cols)
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    pdf.to_parquet(f"{tmp_path}/documents.parquet", index=False)
+    return str(tmp_path)
+
+
+def _oracle(sf_dir, name):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return con.sql(ORACLES[name]).fetchdf()
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_q53_shared_passage_detection(spark, tmp_path):
+    shared = _words("s", PASSAGE_W)  # one exact chunk-aligned passage
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, shared + " " + _words("a", PASSAGE_W), "en", "src0"),
+            (1, shared + " " + _words("b", PASSAGE_W), "en", "src0"),
+            (2, _words("c", PASSAGE_W + 5), "en", "src1"),
+        ],
+    )
+    name = "q53_passage_dedup"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("doc_id")
+    # docs 0 and 1 share exactly their first passage: 2 passages each,
+    # 1 shared -> frac 500000 -> drop at the >= 500000 threshold
+    for i in (0, 1):
+        assert (
+            by.loc[i, "n_passages"],
+            by.loc[i, "n_shared"],
+            by.loc[i, "shared_frac_e6"],
+            by.loc[i, "verdict"],
+        ) == (2, 1, 500000, "drop")
+    # doc 2: a full chunk + a 5-word tail chunk, nothing shared
+    assert (by.loc[2, "n_passages"], by.loc[2, "n_shared"]) == (2, 0)
+    assert by.loc[2, "verdict"] == "keep"
+
+
+def test_q53_within_doc_repeat_not_counted_as_shared(spark, tmp_path):
+    # the same passage twice in ONE doc is not cross-doc duplication
+    p = _words("r", PASSAGE_W)
+    d = _write_docs(tmp_path, [(0, p + " " + p, "en", "src0")])
+    sdf = QUERIES["q53_passage_dedup"](spark, d).toPandas()
+    row = sdf.iloc[0]
+    # distinct passages: 1 (both chunks identical); none shared
+    assert (row["n_passages"], row["n_shared"], row["verdict"]) == (
+        1,
+        0,
+        "keep",
+    )
+
+
+def test_q54_planted_violations(spark, tmp_path):
+    name = "q54_interleaved_audit"
+    d = _write_docs(
+        tmp_path,
+        [(i, f"doc {i} text", "en", "src0") for i in range(14)],
+    )
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    got = dict(zip(sdf["status"], sdf["n_docs"]))
+    # residues 3/5/6 are planted violations, twice each over 0..13
+    assert got == {
+        "OK": 8,
+        "OFFSET_ORDER": 2,
+        "MEDIA_REF": 2,
+        "KIND_DOMAIN": 2,
+    }
+
+
+def test_q55_rare_word_wins(spark, tmp_path):
+    name = "q55_tfidf_keywords"
+    common = "the data spark"
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, common + " zebra", "en", "src0"),
+            (1, common, "en", "src0"),
+            (2, common, "en", "src0"),
+            (3, "unrelated words here", "en", "src1"),
+        ],
+    )
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("doc_id")
+    kw0 = by.loc[0, "keywords"].split(",")
+    # zebra: df=1 -> score 1e6*N/1, strictly above any df>=3 word
+    assert kw0[0] == "zebra"
+    assert len(kw0) <= TFIDF_TOP_K
+    assert by.loc[0, "top_score_e6"] == 1000000 * 4
+    # every doc emits a row even if it dominates nothing
+    assert set(by.index) == {0, 1, 2, 3}
+
+
+def test_q56_matches_hand_computed_weights(spark, tmp_path):
+    name = "q56_quality_classifier"
+    d = _write_docs(
+        tmp_path,
+        [(0, "alpha beta gamma", "en", "src0"), (1, "alpha alpha", "en", "src0")],
+    )
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+
+    def w(tok):
+        h = int(hashlib.md5(f"w:{tok}".encode()).hexdigest()[:12], 16)
+        return h % QC_MOD
+
+    by = sdf.set_index("doc_id")
+    exp0 = (w("alpha") + w("beta") + w("gamma")) * 1000 // 3
+    exp1 = (2 * w("alpha")) * 1000 // 2
+    assert by.loc[0, "quality_e3"] == exp0
+    assert by.loc[1, "quality_e3"] == exp1
+    for i, exp in ((0, exp0), (1, exp1)):
+        assert by.loc[i, "verdict"] == ("keep" if exp >= 500000 else "drop")
+
+
+def test_q57_interpolation_cases(spark, tmp_path):
+    name = "q57_length_percentiles"
+    rows, did = [], 0
+    for lang, vals in (
+        ("xx", [1, 2, 3, 4]),  # p50=2.5, p90=3.7
+        ("yy", [7]),  # single value: both = 7.0
+        ("zz", [5, 5, 5, 9]),  # ties: p50=5.0, p90=5+0.7*4=7.8
+    ):
+        for v in vals:
+            rows.append((did, "t", lang, "s", v))
+            did += 1
+    d = _write_docs(tmp_path, rows)
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("lang")
+    assert (by.loc["xx", "p50_chars_e1"], by.loc["xx", "p90_chars_e1"]) == (25, 37)
+    assert (by.loc["yy", "p50_chars_e1"], by.loc["yy", "p90_chars_e1"]) == (70, 70)
+    assert (by.loc["zz", "p50_chars_e1"], by.loc["zz", "p90_chars_e1"]) == (50, 78)
+
+
+def test_q57_matches_numpy_linear_percentile(spark, tmp_path):
+    rng = np.random.default_rng(421)
+    rows, did, expect = [], 0, {}
+    for g in range(8):
+        lang = f"l{g}"
+        vals = rng.integers(10, 5000, size=int(rng.integers(1, 60))).tolist()
+        for v in vals:
+            rows.append((did, "t", lang, "s", int(v)))
+            did += 1
+        expect[lang] = (
+            int(round(np.percentile(vals, 50, method="linear") * 10)),
+            int(round(np.percentile(vals, 90, method="linear") * 10)),
+        )
+    d = _write_docs(tmp_path, rows)
+    sdf = QUERIES["q57_length_percentiles"](spark, d).toPandas()
+    by = sdf.set_index("lang")
+    for lang, (p50, p90) in expect.items():
+        assert (by.loc[lang, "p50_chars_e1"], by.loc[lang, "p90_chars_e1"]) == (
+            p50,
+            p90,
+        ), lang
+
+
+def test_q58_grand_total_row(spark, tmp_path):
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, "aa", "en", "src0"),
+            (1, "bbb", "en", "src1"),
+            (2, "cccc", "de", "src0"),
+        ],
+    )
+    sdf = QUERIES["q58_cube_stats"](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, "q58_cube_stats")) is None
+    total = sdf[sdf["lang"].isna() & sdf["source"].isna()]
+    assert len(total) == 1
+    assert int(total["n_docs"].iloc[0]) == 3
+    assert int(total["total_chars"].iloc[0]) == 9
+    # 4 grouping sets: (lang,source)=3 combos + 2 langs + 2 sources + 1
+    assert len(sdf) == 8
