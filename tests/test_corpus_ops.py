@@ -15,6 +15,7 @@ import pandas as pd
 import pytest
 
 from german_ocr_spark.queries import (
+    HLL_M,
     ORACLES,
     PASSAGE_W,
     QC_MOD,
@@ -199,6 +200,59 @@ def test_q57_matches_numpy_linear_percentile(spark, tmp_path):
             p50,
             p90,
         ), lang
+
+
+def _hll_vec(sdf, source):
+    got = {
+        int(r.register): int(r.max_rho)
+        for _, r in sdf[sdf.source == source].iterrows()
+    }
+    return [got.get(j, 0) for j in range(HLL_M)]
+
+
+def _hll_estimate(vec):
+    import math
+
+    m = len(vec)
+    alpha = 0.709  # m = 64
+    raw = alpha * m * m / sum(2.0**-v for v in vec)
+    zeros = vec.count(0)
+    if raw <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)  # linear-counting correction
+    return raw
+
+
+def test_q59_estimate_accuracy(spark, tmp_path):
+    name = "q59_hll_sketch"
+    rows = [(i, f"unique text number {i}", "en", "src0") for i in range(300)]
+    rows += [(300 + i, "the same text", "en", "src1") for i in range(50)]
+    d = _write_docs(tmp_path, rows)
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    est0 = _hll_estimate(_hll_vec(sdf, "src0"))
+    assert abs(est0 - 300) / 300 < 0.30  # HLL sigma ~= 1.04/sqrt(64) ~ 13%
+    # src1 holds ONE distinct text repeated 50x: exactly one register set
+    vec1 = _hll_vec(sdf, "src1")
+    assert sum(1 for v in vec1 if v > 0) == 1
+    assert 0.5 < _hll_estimate(vec1) < 2.5
+
+
+def test_q59_sketch_union_is_elementwise_max(spark, tmp_path):
+    """The property that makes HLL distributable: the sketch of a union
+    equals the register-wise max of the parts' sketches — per-partition
+    / per-snapshot sketches merge without re-touching the data."""
+    name = "q59_hll_sketch"
+    rows = [(i, f"item {i} payload", "en", "srcA") for i in range(200)]
+    parts = {}
+    for sub, rs in (("full", rows), ("h1", rows[:100]), ("h2", rows[100:])):
+        p = tmp_path / sub
+        p.mkdir()
+        parts[sub] = _write_docs(p, rs)
+    full, half1, half2 = parts["full"], parts["h1"], parts["h2"]
+    v_full = _hll_vec(QUERIES[name](spark, full).toPandas(), "srcA")
+    v1 = _hll_vec(QUERIES[name](spark, half1).toPandas(), "srcA")
+    v2 = _hll_vec(QUERIES[name](spark, half2).toPandas(), "srcA")
+    assert v_full == [max(a, b) for a, b in zip(v1, v2)]
 
 
 def test_q58_grand_total_row(spark, tmp_path):
