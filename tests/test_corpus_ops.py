@@ -255,6 +255,45 @@ def test_q59_sketch_union_is_elementwise_max(spark, tmp_path):
     assert v_full == [max(a, b) for a, b in zip(v1, v2)]
 
 
+def _cm_estimate(sdf, word):
+    import hashlib
+
+    from german_ocr_spark.queries import CM_D, CM_W
+
+    cells = {
+        (int(r.r), int(r.c)): int(r.total) for _, r in sdf.iterrows()
+    }
+    est = None
+    for r in range(CM_D):
+        h = int(hashlib.md5(f"cm{r}:{word}".encode()).hexdigest()[:12], 16)
+        v = cells.get((r, h % CM_W), 0)
+        est = v if est is None else min(est, v)
+    return est
+
+
+def test_q60_point_queries_bound_truth(spark, tmp_path):
+    name = "q60_countmin_sketch"
+    # a planted heavy hitter plus a long tail of singletons
+    rows = [(0, " ".join(["hot"] * 120 + ["warm"] * 7), "en", "src0")]
+    rows += [
+        (1 + i, f"cold{i} filler{i} word{i}", "en", "src0") for i in range(40)
+    ]
+    d = _write_docs(tmp_path, rows)
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    truth = {"hot": 120, "warm": 7, "cold3": 1, "word17": 1}
+    ests = {w: _cm_estimate(sdf, w) for w in truth}
+    # count-min never underestimates
+    for w, t in truth.items():
+        assert ests[w] >= t, (w, ests[w], t)
+    # and the planted heavy hitter dominates every probed estimate
+    assert ests["hot"] == max(ests.values())
+    # total mass conservation per hash row: each row sums to n_tokens
+    per_row = sdf.groupby("r")["total"].sum()
+    n_tokens = 127 + 40 * 3
+    assert (per_row == n_tokens).all()
+
+
 def test_q58_grand_total_row(spark, tmp_path):
     d = _write_docs(
         tmp_path,
