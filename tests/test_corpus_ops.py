@@ -294,6 +294,46 @@ def test_q60_point_queries_bound_truth(spark, tmp_path):
     assert (per_row == n_tokens).all()
 
 
+def test_q61_scrub_keeps_keeper_and_order(spark, tmp_path):
+    name = "q61_passage_scrub"
+    shared = _words("s", PASSAGE_W)
+    a_tail = _words("a", PASSAGE_W)
+    b_head = _words("b", PASSAGE_W)
+    d = _write_docs(
+        tmp_path,
+        [
+            # doc 0 is the keeper (min doc_id holding the shared chunk)
+            (0, shared + " " + a_tail, "en", "src0"),
+            # doc 1 holds it mid-text: scrub must keep surrounding order
+            (1, b_head + " " + shared + " " + _words("c", 5), "en", "src0"),
+            (2, _words("u", PASSAGE_W), "en", "src1"),
+        ],
+    )
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("doc_id")
+    assert by.loc[0, "clean_text"] == shared + " " + a_tail  # untouched
+    assert (by.loc[0, "n_kept"], by.loc[0, "n_dropped"]) == (2, 0)
+    # doc 1 loses ONLY the shared middle chunk, order preserved
+    assert by.loc[1, "clean_text"] == b_head + " " + _words("c", 5)
+    assert (by.loc[1, "n_kept"], by.loc[1, "n_dropped"]) == (2, 1)
+    assert by.loc[2, "n_dropped"] == 0
+
+
+def test_q61_fully_duplicated_doc_scrubs_to_empty(spark, tmp_path):
+    p = _words("z", PASSAGE_W)
+    d = _write_docs(
+        tmp_path,
+        [(0, p, "en", "src0"), (1, p, "en", "src0")],
+    )
+    sdf = QUERIES["q61_passage_scrub"](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, "q61_passage_scrub")) is None
+    by = sdf.set_index("doc_id")
+    assert by.loc[0, "clean_text"] == p  # keeper
+    assert by.loc[1, "clean_text"] == ""  # scrubbed empty, row still emitted
+    assert (by.loc[1, "n_kept"], by.loc[1, "n_dropped"]) == (0, 1)
+
+
 def test_q58_grand_total_row(spark, tmp_path):
     d = _write_docs(
         tmp_path,
