@@ -263,10 +263,12 @@ def _cm_estimate(sdf, word):
     cells = {
         (int(r.r), int(r.c)): int(r.total) for _, r in sdf.iterrows()
     }
+    # Kirsch-Mitzenmacher addressing: one hash, cell_r = (h1 + r*h2) % W
+    h = int(hashlib.md5(f"cm:{word}".encode()).hexdigest()[:12], 16)
+    h1, h2 = h % 256, ((h // 256) % 128) * 2 + 1
     est = None
     for r in range(CM_D):
-        h = int(hashlib.md5(f"cm{r}:{word}".encode()).hexdigest()[:12], 16)
-        v = cells.get((r, h % CM_W), 0)
+        v = cells.get((r, (h1 + r * h2) % CM_W), 0)
         est = v if est is None else min(est, v)
     return est
 
