@@ -336,6 +336,30 @@ def test_q61_fully_duplicated_doc_scrubs_to_empty(spark, tmp_path):
     assert (by.loc[1, "n_kept"], by.loc[1, "n_dropped"]) == (0, 1)
 
 
+def test_q66_budget_semantics(spark, tmp_path):
+    from german_ocr_spark.queries import MIX_TOKEN_CAP
+
+    name = "q66_token_budget_mix"
+    rows = [(i, _words("s", 10), "en", "small") for i in range(3)]
+    rows += [
+        (100 + i, _words(f"b{i}_", 50), "en", "big") for i in range(200)
+    ]
+    d = _write_docs(tmp_path, rows)
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("source")
+    # under-budget source passes through whole
+    assert (by.loc["small", "n_docs_kept"], by.loc["small", "tokens_kept"]) == (
+        3,
+        30,
+    )
+    # over-budget source (10000 tokens) is sampled toward the cap
+    assert 0 < by.loc["big", "n_docs_kept"] < 200
+    assert 0 < by.loc["big", "tokens_kept"] < 10000
+    assert abs(by.loc["big", "tokens_kept"] - MIX_TOKEN_CAP) < 3 * MIX_TOKEN_CAP
+    assert by.loc["big", "source_tokens"] == 10000
+
+
 def test_q58_grand_total_row(spark, tmp_path):
     d = _write_docs(
         tmp_path,
