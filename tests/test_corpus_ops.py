@@ -377,3 +377,91 @@ def test_q58_grand_total_row(spark, tmp_path):
     assert int(total["total_chars"].iloc[0]) == 9
     # 4 grouping sets: (lang,source)=3 combos + 2 langs + 2 sources + 1
     assert len(sdf) == 8
+
+
+def test_q69_shard_assignment_semantics(spark, tmp_path):
+    from german_ocr_spark.queries import SHARD_N
+
+    name = "q69_shard_assignment"
+    rows = [
+        (i, _words(f"d{i}_", 5 + i % 7), "en", f"src{i % 3}")
+        for i in range(60)
+    ]
+    d = _write_docs(tmp_path, rows)
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    # placement audit invariants: every doc/token lands in exactly one
+    # shard, shard ids are in range, shares floor-sum to <= 1e6 and the
+    # rounding loss is < SHARD_N ppm
+    assert sdf["n_docs"].sum() == 60
+    assert sdf["tokens"].sum() == sum(5 + i % 7 for i in range(60))
+    assert sdf["shard"].between(0, SHARD_N - 1).all()
+    assert 1000000 - SHARD_N < sdf["share_ppm"].sum() <= 1000000
+
+
+def test_q69_placement_matches_md5_rule(spark, tmp_path):
+    from german_ocr_spark.queries import SHARD_N
+
+    name = "q69_shard_assignment"
+    d = _write_docs(tmp_path, [(7, "one two three", "en", "src0")])
+    sdf = QUERIES[name](spark, d).toPandas()
+    expected = int(hashlib.md5(b"shard:7").hexdigest()[:4], 16) % SHARD_N
+    assert len(sdf) == 1
+    assert int(sdf["shard"].iloc[0]) == expected
+    assert int(sdf["tokens"].iloc[0]) == 3
+
+
+def test_q70_divergence_hand_computed(spark, tmp_path):
+    name = "q70_source_divergence"
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, "a a a b", "en", "srcA"),
+            (1, "b b b b", "en", "srcB"),
+            (2, "a a a b b b b b", "en", "srcC"),
+        ],
+    )
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("source")
+    # corpus: a=6/16, b=10/16 -> pc = 375000 / 625000 ppm
+    # srcA (a=3/4, b=1/4): |750000-375000| + |250000-625000| = 750000
+    # srcB (b=4/4):        |0-375000|      + |1000000-625000| = 750000
+    # srcC == corpus distribution -> 0
+    assert int(by.loc["srcA", "l1_div_ppm"]) == 750000
+    assert int(by.loc["srcB", "l1_div_ppm"]) == 750000
+    assert int(by.loc["srcC", "l1_div_ppm"]) == 0
+    assert int(by.loc["srcC", "src_tokens"]) == 8
+
+
+def test_q71_partial_copy_high_containment_low_jaccard(spark, tmp_path):
+    name = "q71_containment_pairs"
+    big = _words("w", 100)                      # w0..w99
+    small = _words("w", 20)                     # prefix copy: w0..w19
+    other = _words("z", 50)                     # unrelated
+    d = _write_docs(
+        tmp_path, [(1, big, "en", "s"), (2, small, "en", "s"), (3, other, "en", "s")]
+    )
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    # exactly the (big, small) pair: containment 1.0 (every shingle of
+    # the prefix copy is in the big doc) but jaccard 18/98 — the pair
+    # q18's union denominator misses by construction
+    assert len(sdf) == 1
+    row = sdf.iloc[0]
+    assert {row["doc_a"], row["doc_b"]} == {"1", "2"}
+    assert row["contained_doc"] == "2"
+    assert row["containment"] == 1.0
+    assert row["jaccard"] < 0.5
+
+
+def test_q71_threshold_excludes_weak_overlap(spark, tmp_path):
+    name = "q71_containment_pairs"
+    # docs share a 12-word run out of 30 -> containment 10/28 < 0.8
+    shared = _words("s", 12)
+    a = shared + " " + _words("a", 18)
+    b = shared + " " + _words("b", 18)
+    d = _write_docs(tmp_path, [(1, a, "en", "s"), (2, b, "en", "s")])
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    assert len(sdf) == 0
