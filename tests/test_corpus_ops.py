@@ -465,3 +465,209 @@ def test_q71_threshold_excludes_weak_overlap(spark, tmp_path):
     sdf = QUERIES[name](spark, d).toPandas()
     assert compare(sdf, _oracle(d, name)) is None
     assert len(sdf) == 0
+
+
+# ---------------------------------------------------------------- q72–q78
+
+
+def _md5hex(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _is_new(doc_id: int) -> bool:
+    """q73/q78 batch-membership rule, recomputed independently."""
+    from german_ocr_spark.queries import INC_BATCH_THRESHOLD
+
+    return _md5hex(f"batch:{doc_id}")[:2] < INC_BATCH_THRESHOLD
+
+
+def test_q72_matches_hand_computed_acceptance(spark, tmp_path):
+    from german_ocr_spark.queries import QC_SCORE_MAX_E3
+
+    name = "q72_importance_sample"
+    rows = [
+        (i, _words(f"t{i}_", 3 + i % 5), "en", f"src{i % 2}") for i in range(40)
+    ]
+    d = _write_docs(tmp_path, rows)
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    # recompute the acceptance rule per doc in pure Python
+    exp = {}
+    for i, text, _, src, _n in (r + (None,) for r in rows):
+        toks = text.split()
+        q = sum(int(_md5hex(f"w:{t}")[:12], 16) % QC_MOD for t in toks) * 1000 // len(toks)
+        h16 = int(_md5hex(f"imp:{i}")[:4], 16)
+        keep = h16 * QC_SCORE_MAX_E3 < q * 65536
+        e = exp.setdefault(src, [0, 0, 0, 0])  # total, kept, tokens, qsum
+        e[0] += 1
+        if keep:
+            e[1] += 1
+            e[2] += len(toks)
+            e[3] += q
+    by = sdf.set_index("source")
+    for src, (tot, kept, toks, qsum) in exp.items():
+        row = by.loc[src]
+        assert int(row["n_total"]) == tot
+        assert int(row["n_kept"]) == kept
+        assert int(row["tokens_kept"]) == toks
+        assert int(row["avg_quality_kept_e3"]) == (qsum // kept if kept else 0)
+
+
+def test_q73_verdict_classes(spark, tmp_path):
+    name = "q73_incremental_dedup"
+    new_ids = [i for i in range(200) if _is_new(i)]
+    old_ids = [i for i in range(200) if not _is_new(i)]
+    assert len(new_ids) >= 4 and len(old_ids) >= 1
+    n1, n2, n3, n4 = new_ids[:4]
+    o1 = old_ids[0]
+    shared = _words("snap", 8)
+    within = _words("batch", 8)
+    d = _write_docs(
+        tmp_path,
+        [
+            (o1, shared, "en", "s"),
+            # case/whitespace variant of the snapshot doc: canonical
+            # fingerprint still matches (q17's rule)
+            (n1, "  " + shared.upper() + "  ", "en", "s"),
+            (min(n2, n3), within, "en", "s"),
+            (max(n2, n3), within, "en", "s"),
+            (n4, _words("uniq", 8), "en", "s"),
+        ],
+    )
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    v = sdf.set_index("doc_id")["verdict"]
+    assert v.loc[n1] == "dup_of_snapshot"
+    assert v.loc[min(n2, n3)] == "new"          # first claim wins
+    assert v.loc[max(n2, n3)] == "dup_within_batch"
+    assert v.loc[n4] == "new"
+    assert o1 not in v.index                    # snapshot rows never emitted
+
+
+def test_q74_packing_matches_rule_and_never_splits(spark, tmp_path):
+    from german_ocr_spark.queries import PACK_CAP, PACK_LANES
+
+    name = "q74_sequence_packing"
+    rows = [
+        (i, _words(f"p{i}_", 50 + (i * 37) % 300), "en", "s") for i in range(48)
+    ]
+    d = _write_docs(tmp_path, rows)
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    # recompute lanes + greedy cumsum independently
+    lanes = {}
+    for i, text, *_ in rows:
+        lane = int(_md5hex(f"pack:{i}")[:4], 16) % PACK_LANES
+        lanes.setdefault(lane, []).append((i, len(text.split())))
+    exp = {}
+    for lane, docs in lanes.items():
+        cum = 0
+        for i, nt in sorted(docs):
+            exp[i] = (lane, cum // PACK_CAP, cum % PACK_CAP, nt)
+            cum += nt
+    by = sdf.set_index("doc_id")
+    for i, (lane, seq, off, nt) in exp.items():
+        row = by.loc[i]
+        assert (int(row["lane"]), int(row["seq_id"]), int(row["seq_offset"]),
+                int(row["nt"])) == (lane, seq, off, nt)
+
+
+def test_q75_planted_cross_source_passage(spark, tmp_path):
+    name = "q75_source_overlap_matrix"
+    shared = _words("s", PASSAGE_W)  # chunk-aligned shared passage
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, shared + " " + _words("a", PASSAGE_W), "en", "src0"),
+            (1, shared + " " + _words("b", PASSAGE_W), "en", "src1"),
+            (2, shared + " " + _words("c", PASSAGE_W), "en", "src1"),
+            (3, _words("z", PASSAGE_W), "en", "src2"),
+        ],
+    )
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    # exactly one overlapping source pair; the passage lives in 1 src0
+    # doc and 2 src1 docs -> 1 shared hash, 1*2 cross pairs
+    assert len(sdf) == 1
+    row = sdf.iloc[0]
+    assert (row["source_a"], row["source_b"]) == ("src0", "src1")
+    assert (int(row["n_shared_passages"]), int(row["n_cross_pairs"])) == (1, 2)
+
+
+def test_q76_chunk_coverage_and_hashes(spark, tmp_path):
+    from german_ocr_spark.queries import CHUNK_STRIDE, CHUNK_W
+
+    name = "q76_train_chunks"
+    texts = {
+        0: _words("a", 80),   # 3 full windows: starts 1, 25, 49
+        1: _words("b", 10),   # single short chunk
+        2: _words("c", CHUNK_W + 1),  # boundary: 2 chunks, tail len 9
+    }
+    d = _write_docs(tmp_path, [(i, t, "en", "s") for i, t in texts.items()])
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    for i, text in texts.items():
+        toks = text.split()
+        nt = len(toks)
+        n_chunks = 1 + max(0, -(-(nt - CHUNK_W) // CHUNK_STRIDE)) if nt > CHUNK_W else 1
+        rows = sdf[sdf["doc_id"] == i].sort_values("chunk_id")
+        assert len(rows) == n_chunks
+        covered = set()
+        for _, r in rows.iterrows():
+            start = int(r["start_tok"])
+            chunk = toks[start - 1 : start - 1 + CHUNK_W]
+            assert int(r["chunk_toks"]) == len(chunk)
+            assert int(r["chunk_hash"]) == int(
+                _md5hex(" ".join(chunk))[:12], 16
+            )
+            covered.update(range(start - 1, start - 1 + len(chunk)))
+        assert covered == set(range(nt))  # total coverage, no token lost
+
+
+def test_q77_planted_collocation_wins(spark, tmp_path):
+    from german_ocr_spark.queries import COLL_MIN_SUP
+
+    name = "q77_collocation_lift"
+    k = COLL_MIN_SUP + 1
+    rows = [
+        (i, f"new york w{i}a w{i}b", "en", "s") for i in range(k)
+    ]
+    d = _write_docs(tmp_path, rows)
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    # only "new york" reaches the support floor; lift = k*N*1e6/(k*k)
+    # with N = 4k tokens -> exactly 4e6
+    assert len(sdf) == 1
+    row = sdf.iloc[0]
+    assert row["bigram"] == "new york"
+    assert (int(row["c_ab"]), int(row["c_a"]), int(row["c_b"])) == (k, k, k)
+    assert int(row["lift_e6"]) == 4_000_000
+
+
+def test_q78_diff_statuses(spark, tmp_path):
+    name = "q78_snapshot_diff"
+    new_ids = [i for i in range(200) if _is_new(i)]
+    old_ids = [i for i in range(200) if not _is_new(i)]
+    d = _write_docs(
+        tmp_path,
+        [
+            (old_ids[0], _words("a", 10), "de", "src_grew"),
+            (new_ids[0], _words("b", 20), "de", "src_grew"),
+            (old_ids[1], _words("c", 30), "de", "src_stale"),
+            (new_ids[1], _words("d", 40), "fr", "src_fresh"),
+        ],
+    )
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("source")
+    grew = by.loc["src_grew"]
+    assert grew["status"] == "grew"
+    assert (int(grew["docs_before"]), int(grew["docs_added"])) == (1, 1)
+    assert (int(grew["tokens_before"]), int(grew["tokens_added"])) == (10, 20)
+    stale = by.loc["src_stale"]
+    assert stale["status"] == "no_growth"
+    assert (int(stale["docs_added"]), int(stale["tokens_added"])) == (0, 0)
+    fresh = by.loc["src_fresh"]
+    assert fresh["status"] == "new_cell"
+    assert (int(fresh["docs_before"]), int(fresh["tokens_before"])) == (0, 0)
+    assert int(fresh["tokens_added"]) == 40
