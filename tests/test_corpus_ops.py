@@ -42,10 +42,12 @@ def _write_docs(tmp_path, rows):
 
 
 def _oracle(sf_dir, name):
+    import os
+
     con = duckdb.connect()
-    con.sql(
-        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
-    )
+    for t in ("documents", "events"):
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con.sql(ORACLES[name]).fetchdf()
 
 
@@ -671,3 +673,91 @@ def test_q78_diff_statuses(spark, tmp_path):
     assert fresh["status"] == "new_cell"
     assert (int(fresh["docs_before"]), int(fresh["tokens_before"])) == (0, 0)
     assert int(fresh["tokens_added"]) == 40
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (event_id, ts_iso, user_id, event_type, value)."""
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["event_id"] = pdf["event_id"].astype("int64")
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pdf["user_id"] = pdf["user_id"].astype("int64")
+    pdf["value"] = pdf["value"].astype("float64")
+    pdf["props"] = "{}"
+    pdf.to_parquet(f"{tmp_path}/events.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_q79_planted_spike_and_quiet(spark, tmp_path):
+    from german_ocr_spark.queries import ANOM_BASE
+
+    name = "q79_rate_anomaly"
+    rows, eid = [], 0
+    # type 'a': 1 event/hour for ANOM_BASE hours, then a 10x spike
+    for h in range(ANOM_BASE + 1):
+        n = 10 if h == ANOM_BASE else 1
+        for i in range(n):
+            rows.append(
+                (eid, f"2026-01-{1 + h // 24:02d}T{h % 24:02d}:{i:02d}:00", 7,
+                 "a", 1.0)
+            )
+            eid += 1
+    # type 'b': 9/hour for 3 hours then 1 -> quiet (1e6/9 < 333334)
+    for h, n in enumerate([9, 9, 9, 1]):
+        for i in range(n):
+            rows.append(
+                (eid, f"2026-01-01T{h:02d}:{30 + i:02d}:00", 8, "b", 1.0)
+            )
+            eid += 1
+    d = _write_events(tmp_path, rows)
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    a = sdf[sdf["event_type"] == "a"].sort_values("hour").reset_index(drop=True)
+    assert a.loc[0, "flag"] == "warmup"
+    assert set(a.loc[1 : ANOM_BASE - 1, "flag"]) == {"normal"}
+    spike = a.iloc[ANOM_BASE]
+    assert spike["flag"] == "spike"
+    # baseline: ANOM_BASE hours of 1 event -> ratio exactly 10e6
+    assert (int(spike["n"]), int(spike["base_hours"]), int(spike["base_sum"]),
+            int(spike["ratio_e6"])) == (10, ANOM_BASE, ANOM_BASE, 10_000_000)
+    b = sdf[sdf["event_type"] == "b"].sort_values("hour").reset_index(drop=True)
+    assert list(b["flag"]) == ["warmup", "normal", "normal", "quiet"]
+    assert int(b.loc[3, "ratio_e6"]) == 1_000_000 * 3 // 27
+
+
+def test_q80_bloom_matches_python_reference(spark, tmp_path):
+    from german_ocr_spark.queries import BLOOM_BITS, BLOOM_K, BLOOM_WORDS
+
+    name = "q80_bloom_sketch"
+    rows = [
+        (i, _words(f"b{i}_", 4 + i % 3), "en", f"src{i % 2}") for i in range(30)
+    ]
+    d = _write_docs(tmp_path, rows)
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    # rebuild each source's bloom words in pure Python
+    import re as _re
+
+    exp = {}
+    for _i, text, _l, src, _n in (r + (None,) for r in rows):
+        canon = _re.sub(r"\s+", " ", text.lower()).strip()
+        fp = hashlib.md5(canon.encode()).hexdigest()
+        h1 = int(hashlib.md5(fp.encode()).hexdigest()[:12], 16) % BLOOM_BITS
+        h2 = (int(hashlib.md5(fp.encode()).hexdigest()[12:24], 16)
+              % BLOOM_BITS) | 1
+        words = exp.setdefault(src, [0] * BLOOM_WORDS)
+        for r_ in range(BLOOM_K):
+            b = (h1 + r_ * h2) % BLOOM_BITS
+            words[b // 63] |= 1 << (b % 63)
+    got = {
+        (r["source"], int(r["word_idx"])): int(r["word_val"])
+        for _, r in sdf.iterrows()
+    }
+    for src, words in exp.items():
+        for wi, wv in enumerate(words):
+            if wv:  # words with no bits set emit no row (no fp hits them)
+                assert got[(src, wi)] == wv
+    # every emitted word must be in the reference (no phantom bits)
+    for (src, wi), wv in got.items():
+        assert exp[src][wi] == wv

@@ -1,0 +1,51 @@
+"""Plan-shape regression pins: the queries whose scale story IS their
+shuffle count must keep that count. PLANS.md documents the audited
+shapes; these tests freeze the invariant ones so a refactor that
+quietly introduces an Exchange (e.g. replacing an in-row computation
+with a window or a groupBy) fails CI instead of surviving until the
+next manual `.explain` audit. Only shuffle-count-stable queries are
+pinned — join-strategy choices that legitimately vary with AQE/stats
+(broadcast vs shuffled hash) are NOT asserted here."""
+
+from __future__ import annotations
+
+import re
+
+from german_ocr_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# query -> exact number of Exchange nodes in the static physical plan
+# (ReusedExchange excluded; counts from the PLANS.md audit)
+PINNED = {
+    # map-only: zero shuffles, the 100 TB hot-path property
+    "q00_extract_pipeline": 0,
+    "q28_simhash_signatures": 0,
+    "q33_ivf_assign": 0,
+    "q35_bpe_token_count": 0,
+    "q36_winnow_fingerprint": 0,
+    "q45_hash_sample": 0,
+    "q47_repetition_metrics": 0,
+    "q56_quality_classifier": 0,
+    "q65_unpivot_metrics": 0,
+    "q76_train_chunks": 0,
+    # exactly one shuffle, by design
+    "q17_exact_dedup": 1,  # the partial->final hash-agg fingerprint shuffle
+    "q72_importance_sample": 1,
+    "q74_sequence_packing": 1,  # the lane window sort
+}
+
+
+def _static_exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(r"\bExchange\b", plan)) - len(
+        re.findall(r"ReusedExchange", plan)
+    )
+
+
+def test_pinned_shuffle_counts(spark):
+    got = {
+        name: _static_exchanges(QUERIES[name](spark, SF_DIR))
+        for name in PINNED
+    }
+    assert got == PINNED
