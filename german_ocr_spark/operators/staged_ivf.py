@@ -13,12 +13,20 @@ tests/test_staged_ivf.py:
    `_ivf_search` downstream yields q44's rows exactly (shared helpers
    `_ivf_assign_probes` / `_ivf_search` in queries.py, so assignment
    and search can never drift between the two paths).
-2. **Bucket pruning** — a probe that touches NPROBE of N_CELLS cells
-   reads only those cells' buckets (`SelectedBucketsCount: k out of n`
-   in the scan node), i.e. search I/O is ~NPROBE/N_CELLS of the index,
-   not a full scan. This is the property that makes IVF an *index*
-   rather than a partitioned brute force; at 10^12 vectors it is the
-   difference between reading terabytes and reading the whole corpus.
+2. **Bucket pruning** — the probed cell ids are collected driver-side
+   (the probe relation is queries x NPROBE rows, tiny by construction)
+   and pushed as a LITERAL `cell IN (...)` filter on the staged scan
+   BEFORE the join: Spark prunes buckets only for literal predicates
+   on the bucket column, never through a join key, so without this
+   filter the staged search would silently read every bucket. With it
+   the scan shows `SelectedBucketsCount: k out of n` and search I/O is
+   ~NPROBE/N_CELLS of the index, not a full scan — the property that
+   makes IVF an *index* rather than a partitioned brute force. (One
+   planner caveat, pinned in the test: a bare filter has no operator
+   that "requires" bucketing, so `DisableUnnecessaryBucketedScan` must
+   be off — `spark.sql.sources.bucketing.autoBucketedScan.enabled=
+   false` — for the bucketed read, and therefore the pruning, to
+   engage.)
 
 Reference lineage: generalizes the reference's model/metadata catalog
 lookup pattern (german_ocr/cloud_client.py:313-318 — resolve once,
@@ -53,8 +61,16 @@ def ivf_search_staged(
 ) -> DataFrame:
     """q44's top-k search executed against a staged inverted-list
     table: probes are rebuilt from the same centroid literals, the
-    corpus-side assignment is READ (bucket-pruned), never recomputed."""
+    corpus-side assignment is READ, never recomputed — and read
+    bucket-pruned: the probed cell ids (a tiny driver-side collect)
+    become a literal IN filter on the bucket column, the only form of
+    predicate Spark's bucket pruning understands."""
+    from pyspark.sql import functions as F
+
     from ..queries import _ivf_assign_probes, _ivf_search
 
     _, probes = _ivf_assign_probes(spark, sf_dir)
-    return _ivf_search(staged, probes)
+    cells = sorted(
+        {int(r.cell) for r in probes.select("cell").distinct().collect()}
+    )
+    return _ivf_search(staged.filter(F.col("cell").isin(cells)), probes)

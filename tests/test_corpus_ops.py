@@ -745,7 +745,7 @@ def test_q80_bloom_matches_python_reference(spark, tmp_path):
         fp = hashlib.md5(canon.encode()).hexdigest()
         h1 = int(hashlib.md5(fp.encode()).hexdigest()[:12], 16) % BLOOM_BITS
         h2 = (int(hashlib.md5(fp.encode()).hexdigest()[12:24], 16)
-              % BLOOM_BITS) | 1
+              % (BLOOM_BITS - 1)) + 1
         words = exp.setdefault(src, [0] * BLOOM_WORDS)
         for r_ in range(BLOOM_K):
             b = (h1 + r_ * h2) % BLOOM_BITS

@@ -37,10 +37,12 @@ PINNED = {
 
 
 def _static_exchanges(df) -> int:
+    # \bExchange\b matches only the bare shuffle-Exchange node — the
+    # word boundary already excludes ReusedExchange and
+    # BroadcastExchange, so no subtraction (subtracting the Reused
+    # count here would UNDERCOUNT plans that contain one)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return len(re.findall(r"\bExchange\b", plan)) - len(
-        re.findall(r"ReusedExchange", plan)
-    )
+    return len(re.findall(r"\bExchange\b", plan))
 
 
 def test_pinned_shuffle_counts(spark):

@@ -67,6 +67,14 @@ def test_staged_probe_reads_only_probed_buckets(spark):
         # and the pruned read still returns exactly the probed cells
         left = {int(r.cell) for r in scan.select("cell").distinct().collect()}
         assert left <= set(cells)
+        # the ACTUAL search path must prune too — ivf_search_staged
+        # pushes its probed cells as a literal filter, so its scan node
+        # must show a pruned bucket count, not a full read
+        search = ivf_search_staged(spark, SF_DIR, staged)
+        splan = search._jdf.queryExecution().executedPlan().toString()
+        ms = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", splan)
+        assert ms, "the staged search itself must bucket-prune"
+        assert int(ms.group(1)) < int(ms.group(2)) == N_BUCKETS
     finally:
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", auto
