@@ -761,3 +761,27 @@ def test_q80_bloom_matches_python_reference(spark, tmp_path):
     # every emitted word must be in the reference (no phantom bits)
     for (src, wi), wv in got.items():
         assert exp[src][wi] == wv
+
+
+def test_q81_winsorized_hand_computed(spark, tmp_path):
+    name = "q81_winsorized_stats"
+    rows, did = [], 0
+    for v in range(1, 11):            # xx: 1..10
+        rows.append((did, "t", "xx", "s", v)); did += 1
+    for v in (1, 1, 1, 1000):         # yy: heavy upper outlier
+        rows.append((did, "t", "yy", "s", v)); did += 1
+    d = _write_docs(tmp_path, rows)
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("lang")
+    xx = by.loc["xx"]
+    # p10 = 1.9, p90 = 9.1; clamped e1 sum = 19+20+..+90+91 = 550
+    assert (int(xx["p10_e1"]), int(xx["p90_e1"])) == (19, 91)
+    assert int(xx["winsor_mean_e2"]) == 550
+    assert (int(xx["n_clamped_low"]), int(xx["n_clamped_high"])) == (1, 1)
+    yy = by.loc["yy"]
+    # p10 = 1.0, p90 = 1 + 0.7*999 = 700.3; the outlier is damped:
+    # winsorized mean 175.82 vs raw mean 250.75
+    assert (int(yy["p10_e1"]), int(yy["p90_e1"])) == (10, 7003)
+    assert int(yy["winsor_mean_e2"]) == (10 + 10 + 10 + 7003) * 10 // 4
+    assert (int(yy["n_clamped_low"]), int(yy["n_clamped_high"])) == (0, 1)
