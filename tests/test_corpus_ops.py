@@ -45,7 +45,7 @@ def _oracle(sf_dir, name):
     import os
 
     con = duckdb.connect()
-    for t in ("documents", "events"):
+    for t in ("documents", "events", "embeddings"):
         if os.path.exists(f"{sf_dir}/{t}.parquet"):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con.sql(ORACLES[name]).fetchdf()
@@ -785,3 +785,165 @@ def test_q81_winsorized_hand_computed(spark, tmp_path):
     assert (int(yy["p10_e1"]), int(yy["p90_e1"])) == (10, 7003)
     assert int(yy["winsor_mean_e2"]) == (10 + 10 + 10 + 7003) * 10 // 4
     assert (int(yy["n_clamped_low"]), int(yy["n_clamped_high"])) == (0, 1)
+
+
+def _kmv_hash(text):
+    return int(hashlib.md5(f"kmv:{text}".encode()).hexdigest()[:12], 16)
+
+
+def _kmv_vals(sdf, source):
+    return sorted(
+        int(r.hv) for _, r in sdf[sdf["source"] == source].iterrows()
+    )
+
+
+def test_q82_kmv_estimate_and_merge(spark, tmp_path):
+    from german_ocr_spark.queries import KMV_K
+
+    name = "q82_kmv_sketch"
+    rows = [(i, f"unique kmv text {i}", "en", "srcA") for i in range(300)]
+    parts = {}
+    for sub, rs in (("full", rows), ("h1", rows[:150]), ("h2", rows[150:])):
+        p = tmp_path / sub
+        p.mkdir()
+        parts[sub] = _write_docs(p, rs)
+    sdf = QUERIES[name](spark, parts["full"]).toPandas()
+    assert compare(sdf, _oracle(parts["full"], name)) is None
+    vals = _kmv_vals(sdf, "srcA")
+    assert len(vals) == KMV_K
+    # sketch holds exactly the k smallest hashes of the distinct set
+    truth = sorted(_kmv_hash(f"unique kmv text {i}") for i in range(300))
+    assert vals == truth[:KMV_K]
+    # cardinality estimate (k-1) * 2^48 / kth_min within KMV error bounds
+    est = (KMV_K - 1) * (1 << 48) / vals[-1]
+    assert abs(est - 300) / 300 < 0.6  # sigma ~= 1/sqrt(k-1) ~ 18%
+    # mergeability: k smallest of the union of part sketches == full
+    v1 = _kmv_vals(QUERIES[name](spark, parts["h1"]).toPandas(), "srcA")
+    v2 = _kmv_vals(QUERIES[name](spark, parts["h2"]).toPandas(), "srcA")
+    merged = sorted(set(v1) | set(v2))[:KMV_K]
+    assert merged == vals
+
+
+def test_q83_resemblance_exact_extremes(spark, tmp_path):
+    """Identical sources estimate Jaccard exactly 1; disjoint sources
+    exactly 0 — deterministic regardless of sketch size."""
+    name = "q83_kmv_resemblance"
+    rows = []
+    for i in range(100):  # twin and copy: identical text sets
+        rows.append((i, f"shared text {i}", "en", "twin"))
+        rows.append((100 + i, f"shared text {i}", "en", "copy"))
+        rows.append((200 + i, f"private text {i}", "en", "other"))
+    d = _write_docs(tmp_path, rows)
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index(["source_a", "source_b"])
+    assert int(by.loc[("copy", "twin"), "jaccard_est_ppm"]) == 1000000
+    assert int(by.loc[("copy", "other"), "jaccard_est_ppm"]) == 0
+    assert int(by.loc[("other", "twin"), "jaccard_est_ppm"]) == 0
+
+
+def test_q83_partial_overlap_estimate(spark, tmp_path):
+    name = "q83_kmv_resemblance"
+    rows = [(i, f"common doc {i}", "en", "srcA") for i in range(100)]
+    rows += [(100 + i, f"common doc {i}", "en", "srcB") for i in range(100)]
+    rows += [(200 + i, f"only a {i}", "en", "srcA") for i in range(100)]
+    rows += [(300 + i, f"only b {i}", "en", "srcB") for i in range(100)]
+    d = _write_docs(tmp_path, rows)
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    # true J = 100 / 300; k=32 sampling sigma ~ sqrt(J(1-J)/k) ~ 0.083
+    ppm = int(sdf.set_index(["source_a", "source_b"])
+              .loc[("srcA", "srcB"), "jaccard_est_ppm"])
+    assert 83000 < ppm < 633000  # J_hat within ~3.6 sigma of 1/3
+
+
+def test_q84_one_sided_guarantee_and_exact_rescore(spark, tmp_path):
+    from german_ocr_spark.queries import HH_FRACTION_DEN
+
+    name = "q84_heavy_hitters"
+    # heavy hitter 'hot' carries ~44% of mass; tail of singletons
+    rows = [(0, " ".join(["hot"] * 160 + ["warm"] * 40), "en", "src0")]
+    rows += [
+        (1 + i, f"cold{i} filler{i} word{i} pad{i} x{i}", "en", "src0")
+        for i in range(40)
+    ]
+    d = _write_docs(tmp_path, rows)
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("tok")
+    n_tokens = 200 + 40 * 5
+    assert int(by.loc["hot", "exact_count"]) == 160
+    assert int(by.loc["warm", "exact_count"]) == 40
+    # count-min never underestimates -> no true-heavy word is missed
+    for tok, cnt in (("hot", 160), ("warm", 40)):
+        assert cnt * HH_FRACTION_DEN >= n_tokens  # fixture sanity
+        assert tok in by.index
+        assert int(by.loc[tok, "cm_estimate"]) >= cnt
+        assert int(by.loc[tok, "overestimate"]) >= 0
+
+
+def test_q85_retention_hand_computed(spark, tmp_path):
+    name = "q85_cohort_retention"
+    rows = [
+        # u1: day0, day1, day2; u2: day0, day2; u3: day1 only
+        (0, "2026-01-01 08:00:00", 1, "view", 1.0),
+        (1, "2026-01-02 09:00:00", 1, "view", 1.0),
+        (2, "2026-01-03 10:00:00", 1, "view", 1.0),
+        (3, "2026-01-01 11:00:00", 2, "click", 1.0),
+        (4, "2026-01-03 12:00:00", 2, "click", 1.0),
+        (5, "2026-01-02 13:00:00", 3, "view", 1.0),
+        # u2 twice on day0: distinct (user, day) counts once
+        (6, "2026-01-01 23:00:00", 2, "view", 1.0),
+    ]
+    d = _write_events(tmp_path, rows)
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index(["cohort_day", "day_offset"])
+    c0 = "2026-01-01"
+    assert int(by.loc[(c0, 0), "n_users"]) == 2
+    assert int(by.loc[(c0, 1), "n_users"]) == 1
+    assert int(by.loc[(c0, 2), "n_users"]) == 2
+    assert int(by.loc[(c0, 0), "retention_ppm"]) == 1000000
+    assert int(by.loc[(c0, 1), "retention_ppm"]) == 500000
+    assert int(by.loc[(c0, 2), "retention_ppm"]) == 1000000
+    assert int(by.loc[("2026-01-02", 0), "n_users"]) == 1
+
+
+def _write_embeddings(tmp_path, rows):
+    """rows: list of (vec_id, embedding list[float], label)."""
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    pdf["vec_id"] = pdf["vec_id"].astype("int64")
+    pdf["label"] = pdf["label"].astype("int32")
+    pdf["embedding"] = pdf["embedding"].apply(
+        lambda v: np.asarray(v, dtype="float32")
+    )
+    pdf.to_parquet(f"{tmp_path}/embeddings.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_q86_perfect_recall_on_single_cluster(spark, tmp_path):
+    """When every corpus vector lands in one IVF cell the probe set
+    covers all candidates, so IVF top-k == brute-force top-k and the
+    audit must report exactly 1000000 ppm for every query."""
+    from german_ocr_spark.queries import IVF_N_CELLS, IVF_TOP_K
+
+    name = "q86_ann_recall_audit"
+    dim = 8
+    rows = []
+    # spread-out centroids 0..15
+    for c in range(IVF_N_CELLS):
+        v = [0.0] * dim
+        v[c % dim] = 100.0 * (1 + c // dim)
+        rows.append((c, v, 0))
+    # corpus 16..40: one tight cluster near centroid 0
+    for i in range(25):
+        v = [100.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        v[1] = 0.01 * i
+        v[2] = 0.003 * (i % 7)
+        rows.append((IVF_N_CELLS + i, v, 1))
+    d = _write_embeddings(tmp_path, rows)
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    assert len(sdf) == 5
+    assert (sdf["n_matched"] == IVF_TOP_K).all()
+    assert (sdf["recall_ppm"] == 1000000).all()
