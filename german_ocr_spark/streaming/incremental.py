@@ -360,3 +360,95 @@ def stream_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+ATTRIBUTION_HORIZON_SECONDS = 3600
+
+
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_seconds: int = ATTRIBUTION_HORIZON_SECONDS,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time interval join of two event relations: every purchase
+    is attributed to ALL of the same user's clicks in the preceding
+    ``horizon_seconds`` (the multi-touch counterpart of the as-of
+    operator's last-touch rule, `operators/asof.py`). Works identically
+    on batch DataFrames and on two streams — on streams this is the
+    canonical Spark stream-stream join: both sides carry a watermark
+    and the join condition bounds event time on both sides, so each
+    side's buffered state is evicted once the other side's watermark
+    passes ``ts + horizon + watermark`` — state stays
+    O(horizon-window events per user), never O(stream).
+
+    Output is append-mode safe (an inner join row is final the moment
+    it is produced) and micro-batch-slicing-independent, which the
+    batch/stream parity test pins."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (c["user_id"] == p["p_user_id"])
+        & (c["click_ts"] <= p["purchase_ts"])
+        & (
+            c["click_ts"]
+            >= p["purchase_ts"] - F.expr(f"INTERVAL {horizon_seconds} SECONDS")
+        )
+    )
+    return c.join(p, cond).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("lag_seconds"),
+    )
+
+
+def stream_attribute(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    horizon_seconds: int = ATTRIBUTION_HORIZON_SECONDS,
+    watermark: str = "30 minutes",
+    schema: str = "event_id long, user_id long, event_type string, "
+    "ts timestamp, value double, props string",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming multi-touch attribution over one event feed: the
+    stream is read twice (clicks and purchases sides of the
+    stream-stream interval join — two readers so each side owns its
+    watermark), joined within the horizon, written append-mode with
+    exactly-once file checkpointing. availableNow drains the backlog;
+    left running it attributes continuously with bounded state."""
+
+    def _reader():
+        r = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        return r.parquet(input_dir)
+
+    clicks = _reader().filter(F.col("event_type") == "click")
+    purchases = _reader().filter(F.col("event_type") == "purchase")
+    joined = attribution_join(clicks, purchases, horizon_seconds, watermark)
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

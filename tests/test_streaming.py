@@ -231,3 +231,66 @@ def test_stream_progress_listener(spark, tmp_path):
     assert totals[-1] == 60  # every document accounted for
     batch_ids = [e.batch_id for e in evs]
     assert batch_ids == sorted(batch_ids)
+
+
+def test_stream_attribution_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (multi-touch attribution): the
+    availableNow streaming run over file-sliced micro-batches must
+    produce exactly the batch join's rows, including a click arriving
+    in a LATER micro-batch than its purchase (within the watermark)."""
+    from german_ocr_spark.streaming import attribution_join, stream_attribute
+
+    inp = str(tmp_path / "attr_in")
+    out = str(tmp_path / "attr_out")
+    ckpt = str(tmp_path / "attr_ckpt")
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ev(eid, uid, etype, minutes, value=1.0):
+        return (eid, uid, etype, base + dt.timedelta(minutes=minutes), value, "{}")
+
+    cols = ["event_id", "user_id", "event_type", "ts", "value", "props"]
+    # user 1: two clicks inside the horizon, one outside (horizon 3600s)
+    # user 2: click after the purchase (not attributed)
+    # user 3: purchase with no clicks at all
+    file1 = [
+        ev(0, 1, "click", -90),   # outside 1h horizon
+        ev(1, 1, "click", -40),
+        ev(3, 2, "purchase", 0),
+        ev(4, 2, "click", 5),     # after purchase: excluded
+        ev(5, 3, "purchase", 10),
+        ev(6, 1, "purchase", 0, value=9.5),
+    ]
+    # second micro-batch: a late-but-within-watermark click for user 1
+    file2 = [
+        ev(2, 1, "click", -10),
+        ev(7, 4, "view", 0),      # non-click/purchase noise
+    ]
+    spark.createDataFrame(file1, cols).coalesce(1).write.mode("append").parquet(inp)
+    spark.createDataFrame(file2, cols).coalesce(1).write.mode("append").parquet(inp)
+
+    q = stream_attribute(
+        spark, inp, out, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.read.parquet(out)
+        .orderBy("purchase_id", "click_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    allv = spark.read.parquet(inp)
+    want = (
+        attribution_join(
+            allv.filter(F.col("event_type") == "click"),
+            allv.filter(F.col("event_type") == "purchase"),
+        )
+        .orderBy("purchase_id", "click_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # exactly the two in-horizon clicks of user 1 are attributed
+    assert sorted(got["click_id"].tolist()) == [1, 2]
+    assert (got["purchase_id"] == 6).all()
+    assert sorted(got["lag_seconds"].tolist()) == [600, 2400]
+    assert (got["purchase_value"] == 9.5).all()
