@@ -947,3 +947,50 @@ def test_q86_perfect_recall_on_single_cluster(spark, tmp_path):
     assert len(sdf) == 5
     assert (sdf["n_matched"] == IVF_TOP_K).all()
     assert (sdf["recall_ppm"] == 1000000).all()
+
+
+def test_q87_multiplicity_and_lane_mass_conservation(spark, tmp_path):
+    from german_ocr_spark.queries import SAMPLE_LANES, SAMPLE_STEP
+
+    name = "q87_systematic_sample"
+    rows = [(i, _words(f"d{i}_", 37), "en", "src0") for i in range(60)]
+    # one giant doc: > 2 steps of tokens -> multiplicity >= 2
+    rows.append((60, _words("g", 2 * SAMPLE_STEP + 50), "en", "src0"))
+    d = _write_docs(tmp_path, rows)
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("doc_id")
+    assert int(by.loc[60, "n_picks"]) >= 2
+    # per-lane pick totals equal floor(lane token mass / STEP)
+    def lane(i):
+        h = int(hashlib.md5(f"samp:{i}".encode()).hexdigest()[:4], 16)
+        return h % SAMPLE_LANES
+
+    mass = {}
+    for i in range(60):
+        mass[lane(i)] = mass.get(lane(i), 0) + 37
+    mass[lane(60)] = mass.get(lane(60), 0) + 2 * SAMPLE_STEP + 50
+    got = sdf.groupby("lane")["n_picks"].sum().to_dict()
+    want = {ln: m // SAMPLE_STEP for ln, m in mass.items() if m // SAMPLE_STEP}
+    assert {int(k): int(v) for k, v in got.items()} == want
+
+
+def test_q88_deciles_hand_computed_and_tie_coherent(spark, tmp_path):
+    name = "q88_length_deciles"
+    rows, did = [], 0
+    for v in range(1, 11):  # xx: one doc per length 1..10
+        rows.append((did, "t", "xx", "s", v)); did += 1
+    for v in (5, 5, 5, 9):  # yy: ties share a decile
+        rows.append((did, "t", "yy", "s", v)); did += 1
+    d = _write_docs(tmp_path, rows)
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    xx = sdf[sdf.lang == "xx"].set_index("n_chars")["decile"]
+    # uniform 1..10: decile of v = ceil(10*v/10) = v
+    assert {int(k): int(v) for k, v in xx.items()} == {
+        v: v for v in range(1, 11)
+    }
+    yy = sdf[sdf.lang == "yy"]
+    # all three 5s: cum 3 of 4 -> ceil(30/4) = 8; the 9: decile 10
+    assert set(yy[yy.n_chars == 5]["decile"]) == {8}
+    assert set(yy[yy.n_chars == 9]["decile"]) == {10}
