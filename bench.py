@@ -48,6 +48,41 @@ def main() -> None:
 
     spark = get_spark(cores=cpus, app_name="bench")
 
+    # The fixture tables are ONE parquet row group each, so every scan
+    # is a single task regardless of core count — a layout artifact no
+    # real table has (100 TB tables arrive as many files/row groups,
+    # one-or-more per task). Stage the SAME rows once into a split
+    # layout so per-query timings measure the engine at the declared
+    # parallelism, not single-thread throughput through a monolithic
+    # row group. Row content is identical; every query is partitioning-
+    # invariant by design (the determinism conventions in queries.py).
+    # Staging cost is reported separately and excluded from query time;
+    # SPARK_GRAFT_STAGE=0 benches the raw fixture layout instead.
+    stage = os.environ.get("SPARK_GRAFT_STAGE", "1") != "0"
+    staging_sec = 0.0
+    if stage:
+        import shutil
+        import tempfile
+
+        staged_dir = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_bench_sf{sf}_{os.getpid()}"
+        )
+        shutil.rmtree(staged_dir, ignore_errors=True)
+        os.makedirs(staged_dir, exist_ok=True)
+        t0 = time.perf_counter()
+        n_splits = max(4, int(cpus) if cpus != "*" else (os.cpu_count() or 8))
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            src = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            n = min(n_splits, max(1, src.count() // 64))
+            src.repartition(n).write.mode("overwrite").parquet(
+                f"{staged_dir}/{t}.parquet"
+            )
+        staging_sec = round(time.perf_counter() - t0, 4)
+        sf_dir = staged_dir
+
     # Warm the JVM + parquet footers once so per-query timings measure
     # execution, not first-touch class loading.
     for t in ("documents", "lineitem", "events", "embeddings"):
@@ -95,6 +130,8 @@ def main() -> None:
                 "cpus": cpus,
                 "extract_docs_per_sec": docs_per_sec,
                 "n_queries": len(timings),
+                "input_staged_to_split_layout": stage,
+                "staging_sec": staging_sec,
                 # two-cluster-size evidence (N vs 4N cores, pinned,
                 # min-of-4 steady state): tools/scaling_bench.py
                 "scaling_evidence": "BENCH_SCALING.md",
