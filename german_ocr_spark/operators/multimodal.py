@@ -160,15 +160,28 @@ def _resize_kernel(grid_w: int, grid_h: int):
                         buf, dtype=np.uint8, count=w * h, offset=12
                     ).reshape(h, w)
                     # box-filter "resize": mean over integer cell blocks
-                    # (deterministic stand-in for a real resampler)
+                    # (deterministic stand-in for a real resampler),
+                    # vectorized with reduceat over both axes. Exactly
+                    # equal to per-block .mean(): uint8 sums in float64
+                    # are exact integers, so summation order is
+                    # irrelevant; empty blocks (image smaller than the
+                    # grid) stay NaN like the slice-mean produced.
+                    if h == 0 or w == 0:
+                        grids[i] = [float("nan")] * (grid_h * grid_w)
+                        continue
                     ys = (np.arange(grid_h + 1) * h) // grid_h
                     xs = (np.arange(grid_w + 1) * w) // grid_w
-                    cells = [
-                        float(px[ys[r] : ys[r + 1], xs[c] : xs[c + 1]].mean())
-                        for r in range(grid_h)
-                        for c in range(grid_w)
-                    ]
-                    grids[i] = cells
+                    sums = np.add.reduceat(
+                        np.add.reduceat(
+                            px.astype(np.float64), ys[:-1], axis=0
+                        ),
+                        xs[:-1],
+                        axis=1,
+                    )
+                    counts = np.outer(ys[1:] - ys[:-1], xs[1:] - xs[:-1])
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cells = np.where(counts > 0, sums / counts, np.nan)
+                    grids[i] = [float(v) for v in cells.ravel()]
                 except Exception as e:  # noqa: BLE001
                     error[i] = f"{type(e).__name__}: {e}"
                     error_code[i] = _code_of(e)
