@@ -29,10 +29,13 @@ PINNED = {
     "q56_quality_classifier": 0,
     "q65_unpivot_metrics": 0,
     "q76_train_chunks": 0,
+    "q89_zorder_key": 0,
     # exactly one shuffle, by design
     "q17_exact_dedup": 1,  # the partial->final hash-agg fingerprint shuffle
     "q72_importance_sample": 1,
     "q74_sequence_packing": 1,  # the lane window sort
+    "q84_heavy_hitters": 1,  # exact rescore of sketch-selected survivors
+    "q87_systematic_sample": 1,  # the lane window prefix sum
 }
 
 
