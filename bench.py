@@ -107,12 +107,16 @@ def main() -> None:
 
     # Flagship throughput: docs/sec through the full mapInPandas
     # extraction pipeline (explode -> order -> kernels -> noop sink).
+    # Min of 3 dedicated warm passes (plus the suite minimum): this
+    # host's page-fault stalls put 2-4x noise on any single pass
+    # (observed 1.5-3.0 s for identical code), and min-of-N is the
+    # repo-wide steady-state estimator.
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    t0 = time.perf_counter()
-    _force(QUERIES["q00_extract_pipeline"](spark, sf_dir))
-    extract_sec = min(
-        time.perf_counter() - t0, timings["q00_extract_pipeline"]
-    )
+    extract_sec = timings["q00_extract_pipeline"]
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(QUERIES["q00_extract_pipeline"](spark, sf_dir))
+        extract_sec = min(extract_sec, time.perf_counter() - t0)
     docs_per_sec = round(n_docs / extract_sec, 2) if extract_sec > 0 else None
 
     print(
