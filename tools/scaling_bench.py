@@ -156,6 +156,10 @@ def main() -> int:
             tuple(int(c) for c in p.split(":"))
             for p in args[args.index("--pairs") + 1].split(",")
         ]
+    # --no-report: print the JSON summary but leave BENCH_SCALING.md
+    # alone — for methodology experiments (e.g. a tmpfs sink run) whose
+    # numbers are merged into the report by hand with their own caveats.
+    no_report = "--no-report" in args
 
     levels = sorted({c for p in pairs for c in p})
     work = tempfile.mkdtemp(prefix="scaling-bench-")
@@ -220,7 +224,8 @@ def main() -> int:
             "output_rows": next(iter(hashes.values()))[0],
         }
         print(json.dumps(summary))
-        write_report(summary, levels)
+        if not no_report:
+            write_report(summary, levels)
         return 0 if identical else 1
     finally:
         shutil.rmtree(work, ignore_errors=True)
