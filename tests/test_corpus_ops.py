@@ -994,3 +994,41 @@ def test_q88_deciles_hand_computed_and_tie_coherent(spark, tmp_path):
     # all three 5s: cum 3 of 4 -> ceil(30/4) = 8; the 9: decile 10
     assert set(yy[yy.n_chars == 5]["decile"]) == {8}
     assert set(yy[yy.n_chars == 9]["decile"]) == {10}
+
+
+def test_q91_invoice_fields_hand_computed(spark, tmp_path):
+    """The German-locale normalization is exact: doc_id 1234567 yields
+    amount 1.234.567,89-style grouping (three dot groups), an ISO
+    date, and cents that match the closed-form fixture rule."""
+    name = "q91_invoice_fields"
+    d = _write_docs(
+        tmp_path,
+        [(1234567, "x", "de", "src0"), (3, "y", "de", "src0")],
+    )
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("doc_id")
+    assert by.loc[1234567, "invoice_no"] == "RE-2024-1234567"
+    # day = 1 + id%28, month = 1 + id%12
+    assert by.loc[1234567, "invoice_date"] == "2024-08-20"
+    assert by.loc[1234567, "amount_cents"] == (1234567 * 7919 + 4242) % 10**7
+    assert by.loc[3, "invoice_date"] == "2024-04-04"
+    assert by.loc[3, "amount_cents"] == 3 * 7919 + 4242
+
+
+def test_q92_lm_cost_hand_computed(spark, tmp_path):
+    """'table' = bigrams ta(3) ab(12) bl(12) le(3) -> total 30 over 4
+    bigrams -> 7500 e3 (keep); 'zzzzz' pays the default everywhere ->
+    12000 e3 (drop)."""
+    name = "q92_lm_quality"
+    d = _write_docs(
+        tmp_path,
+        [(0, "table", "en", "src0"), (1, "zzzzz", "en", "src0")],
+    )
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("doc_id")
+    assert by.loc[0, "lm_cost_e3"] == (3 + 12 + 12 + 3) * 1000 // 4
+    assert bool(by.loc[0, "keep"]) is True
+    assert by.loc[1, "lm_cost_e3"] == 12000
+    assert bool(by.loc[1, "keep"]) is False

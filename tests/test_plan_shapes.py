@@ -30,6 +30,8 @@ PINNED = {
     "q65_unpivot_metrics": 0,
     "q76_train_chunks": 0,
     "q89_zorder_key": 0,
+    "q91_invoice_fields": 0,
+    "q92_lm_quality": 0,
     # exactly one shuffle, by design
     "q17_exact_dedup": 1,  # the partial->final hash-agg fingerprint shuffle
     "q72_importance_sample": 1,
