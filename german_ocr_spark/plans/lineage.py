@@ -133,19 +133,24 @@ def read_lineage(spark: SparkSession, output_dir: str) -> DataFrame:
 
 def committed_files(spark: SparkSession, output_dir: str) -> list[str]:
     """Union of data files referenced by committed lineage rows — the
-    manifest-resolved view of the table (orphans invisible)."""
+    manifest-resolved view of the table (orphans invisible). Files
+    referenced by ``replaced`` rows (written by ``plans.compact`` in
+    the same atomic append as their ``compacted`` replacement) are
+    shadowed: a reader sees exactly one of {old layout, new layout}."""
     try:
         lin = read_lineage(spark, output_dir)
     except Exception:
         return []
     rows = (
-        lin.filter(F.col("status") == "committed")
-        .select(F.explode("files").alias("f"))
+        lin.filter(F.col("status").isin("committed", "compacted", "replaced"))
+        .select("status", F.explode("files").alias("f"))
         .distinct()
         .collect()
     )
+    live = {r.f for r in rows if r.status != "replaced"}
+    live -= {r.f for r in rows if r.status == "replaced"}
     d = data_path(output_dir)
-    return sorted(os.path.join(d, r.f) for r in rows)
+    return sorted(os.path.join(d, f) for f in live)
 
 
 def vacuum(spark: SparkSession, output_dir: str) -> list[str]:
