@@ -1032,3 +1032,28 @@ def test_q92_lm_cost_hand_computed(spark, tmp_path):
     assert bool(by.loc[0, "keep"]) is True
     assert by.loc[1, "lm_cost_e3"] == 12000
     assert bool(by.loc[1, "keep"]) is False
+
+
+def test_q93_url_canonicalization_semantics(spark, tmp_path):
+    """Host lowercased + www-stripped; every utm_* param deleted; the
+    non-tracking param survives; no trailing separator left behind."""
+    name = "q93_url_canonical"
+    d = _write_docs(tmp_path, [(42, "x", "de", "srcA")])
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    row = sdf.iloc[0]
+    assert row["host"] == "srca.de"
+    assert row["canonical_url"] == "https://WWW.srcA.de/doc/42?id=42"
+
+
+def test_q94_sentence_count_protects_abbreviations(spark, tmp_path):
+    """doc 2 -> 1 lead + 3 repeated + 1 tail = 5 sentences; the six
+    abbreviation dots (Dr., z. B., Nr., ca., bzw.) never count."""
+    name = "q94_sentence_segment"
+    d = _write_docs(tmp_path, [(2, "x", "de", "src0"), (0, "y", "de", "src0")])
+    sdf = QUERIES[name](spark, d).toPandas().set_index("doc_id")
+    assert compare(
+        sdf.reset_index(), _oracle(d, name)
+    ) is None
+    assert sdf.loc[2, "n_sentences"] == 5
+    assert sdf.loc[0, "n_sentences"] == 3

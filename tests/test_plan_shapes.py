@@ -32,6 +32,8 @@ PINNED = {
     "q89_zorder_key": 0,
     "q91_invoice_fields": 0,
     "q92_lm_quality": 0,
+    "q93_url_canonical": 0,
+    "q94_sentence_segment": 0,
     # exactly one shuffle, by design
     "q17_exact_dedup": 1,  # the partial->final hash-agg fingerprint shuffle
     "q72_importance_sample": 1,
