@@ -134,15 +134,20 @@ def read_lineage(spark: SparkSession, output_dir: str) -> DataFrame:
 def committed_files(spark: SparkSession, output_dir: str) -> list[str]:
     """Union of data files referenced by committed lineage rows — the
     manifest-resolved view of the table (orphans invisible). Files
-    referenced by ``replaced`` rows (written by ``plans.compact`` in
-    the same atomic append as their ``compacted`` replacement) are
-    shadowed: a reader sees exactly one of {old layout, new layout}."""
+    referenced by ``replaced`` rows (written by ``plans.compact`` /
+    ``plans.delete`` in the same atomic append as their ``compacted``
+    / ``rewritten`` replacement) are shadowed: a reader sees exactly
+    one of {old layout, new layout}."""
     try:
         lin = read_lineage(spark, output_dir)
     except Exception:
         return []
     rows = (
-        lin.filter(F.col("status").isin("committed", "compacted", "replaced"))
+        lin.filter(
+            F.col("status").isin(
+                "committed", "compacted", "rewritten", "replaced"
+            )
+        )
         .select("status", F.explode("files").alias("f"))
         .distinct()
         .collect()
