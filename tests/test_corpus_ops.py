@@ -1057,3 +1057,46 @@ def test_q94_sentence_count_protects_abbreviations(spark, tmp_path):
     ) is None
     assert sdf.loc[2, "n_sentences"] == 5
     assert sdf.loc[0, "n_sentences"] == 3
+
+
+def test_q95_fertility_hand_computed(spark, tmp_path):
+    """'Hallo, Welt' -> 2 ws tokens, 4 BPE-ish tokens (word, comma,
+    word) ... fertility = bpe*1e6 // ws, exact."""
+    name = "q95_tokenizer_fertility"
+    d = _write_docs(
+        tmp_path,
+        [(0, "Hallo, Welt", "de", "s0"), (1, "a b c", "en", "s0")],
+    )
+    sdf = QUERIES[name](spark, d).toPandas().set_index("lang")
+    assert compare(sdf.reset_index(), _oracle(d, name)) is None
+    # de: ws=2; bpe: 'Hallo' ',' ' Welt' -> 3
+    assert (sdf.loc["de", "n_ws_tokens"], sdf.loc["de", "n_bpe_tokens"]) == (2, 3)
+    assert sdf.loc["de", "fertility_ppm"] == 3 * 1000000 // 2
+    assert (sdf.loc["en", "n_ws_tokens"], sdf.loc["en", "n_bpe_tokens"]) == (3, 3)
+    assert sdf.loc["en", "fertility_ppm"] == 1000000
+
+
+def test_q96_decompound_branches(spark, tmp_path):
+    """doc 8: plain compound head+tail; doc 3: Fugen-s; doc 0 (%7==0):
+    bare dictionary word, no split."""
+    name = "q96_decompound"
+    d = _write_docs(
+        tmp_path,
+        [(8, "x", "de", "s0"), (3, "x", "de", "s0"), (0, "x", "de", "s0")],
+    )
+    sdf = QUERIES[name](spark, d).toPandas().set_index("doc_id")
+    assert compare(sdf.reset_index(), _oracle(d, name)) is None
+    # doc 8: dict[0]='rechnung' + dict[1]='nummer'
+    assert (sdf.loc[8, "head"], sdf.loc[8, "tail"], bool(sdf.loc[8, "fugen_s"])) == (
+        "rechnung", "nummer", False,
+    )
+    assert sdf.loc[8, "word"] == "rechnungnummer"
+    # doc 3: dict[3]='kunden' + 's' + dict[6]='steuer'
+    assert (sdf.loc[3, "head"], sdf.loc[3, "tail"], bool(sdf.loc[3, "fugen_s"])) == (
+        "kunden", "steuer", True,
+    )
+    assert sdf.loc[3, "word"] == "kundenssteuer"
+    # doc 0: bare word stays whole
+    assert (sdf.loc[0, "head"], sdf.loc[0, "tail"], bool(sdf.loc[0, "fugen_s"])) == (
+        "rechnung", "", False,
+    )

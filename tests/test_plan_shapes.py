@@ -34,11 +34,13 @@ PINNED = {
     "q92_lm_quality": 0,
     "q93_url_canonical": 0,
     "q94_sentence_segment": 0,
+    "q96_decompound": 0,
     # exactly one shuffle, by design
     "q17_exact_dedup": 1,  # the partial->final hash-agg fingerprint shuffle
     "q72_importance_sample": 1,
     "q74_sequence_packing": 1,  # the lane window sort
     "q84_heavy_hitters": 1,  # exact rescore of sketch-selected survivors
+    "q95_tokenizer_fertility": 1,  # the languages-sized hash agg
     "q87_systematic_sample": 1,  # the lane window prefix sum
 }
 
