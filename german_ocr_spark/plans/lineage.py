@@ -135,9 +135,10 @@ def committed_files(spark: SparkSession, output_dir: str) -> list[str]:
     """Union of data files referenced by committed lineage rows — the
     manifest-resolved view of the table (orphans invisible). Files
     referenced by ``replaced`` rows (written by ``plans.compact`` /
-    ``plans.delete`` in the same atomic append as their ``compacted``
-    / ``rewritten`` replacement) are shadowed: a reader sees exactly
-    one of {old layout, new layout}."""
+    ``plans.delete`` / ``plans.upsert`` in the same atomic append as
+    their ``compacted`` / ``rewritten`` / ``upserted`` replacement)
+    are shadowed: a reader sees exactly one of {old layout, new
+    layout}."""
     try:
         lin = read_lineage(spark, output_dir)
     except Exception:
@@ -145,7 +146,8 @@ def committed_files(spark: SparkSession, output_dir: str) -> list[str]:
     rows = (
         lin.filter(
             F.col("status").isin(
-                "committed", "compacted", "rewritten", "replaced"
+                "committed", "compacted", "rewritten", "upserted",
+                "replaced"
             )
         )
         .select("status", F.explode("files").alias("f"))

@@ -1,0 +1,76 @@
+"""Document-level upsert over the manifest-commit layout (the Iceberg
+``MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
+INSERT`` pattern for whole-document refresh).
+
+The operational story: a crawl re-fetches a slice of the corpus and
+the refreshed extractions must REPLACE the stale ones — takedown's
+sibling. On an immutable-file layout that is two manifest moves:
+
+1. Copy-on-write delete of the incoming doc_ids (``plans.delete``):
+   only files containing a stale version are rewritten, shadowed
+   atomically. Brand-new documents touch nothing here.
+2. Append the fresh rows as a normal committed group (an ``upserted``
+   lineage row referencing the new files — same manifest mechanics as
+   the writer's commit, so `read_output`/`vacuum`/`compact` all
+   compose without special cases).
+
+Between the two appends a reader sees the corpus without the refreshed
+docs (delete committed, insert not yet) — the same intermediate state
+Iceberg's two-phase copy-on-write MERGE exposes between snapshots; it
+never sees both versions of a document. After step 2 the table is the
+post-merge view. A crash between the steps loses no data that a rerun
+of the same upsert batch doesn't restore, and the half-applied state
+is itself a consistent snapshot.
+
+Input contract: ``fresh`` carries the EXTRACT_DDL span rows of the
+incoming documents (the caller runs the extraction pipeline on the
+delta — the corpus-sized work; this module only moves manifests).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schema import LINEAGE_SCHEMA
+from . import delete as dl
+from . import lineage as lin
+
+
+def upsert_docs(
+    spark: SparkSession,
+    output_dir: str,
+    fresh: DataFrame,
+    snapshot_id: str = "upsert-0001",
+    committed_at: str = "1970-01-01T00:00:00Z",
+) -> dict:
+    """Replace-or-insert every document present in ``fresh``.
+    Returns ``{"docs_upserted": n, "rows_deleted": n,
+    "files_rewritten": n}``."""
+    doc_ids = [r.doc_id for r in fresh.select("doc_id").distinct().collect()]
+    stats = dl.delete_docs(
+        spark,
+        output_dir,
+        doc_ids,
+        snapshot_id=f"{snapshot_id}-del",
+        committed_at=committed_at,
+    )
+    subdir = f"{snapshot_id}-u00000"
+    dest = os.path.join(lin.data_path(output_dir), subdir)
+    fresh.write.mode("overwrite").parquet(dest)
+    new_files = sorted(
+        f"{subdir}/{n}" for n in lin._list_dir_files(spark, dest)
+    )
+    rows = [
+        (snapshot_id, lin.CONTROL_BUCKET, 0, 0, 0, "upserted",
+         committed_at, new_files),
+    ]
+    spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(lin.lineage_path(output_dir))
+    return {
+        "docs_upserted": len(doc_ids),
+        "rows_deleted": stats["rows_deleted"],
+        "files_rewritten": stats["files_rewritten"],
+    }

@@ -1,0 +1,106 @@
+"""Document upsert (plans/upsert.py): refreshed docs replace their
+stale spans exactly, brand-new docs append, untouched docs survive
+byte for byte, and the result composes with vacuum/compaction."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from german_ocr_spark import pipeline
+from german_ocr_spark.plans import lineage as lin
+from german_ocr_spark.plans import upsert as up
+from german_ocr_spark.synth import docs_to_spark, synth_docs
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return synth_docs(80, seed=21)
+
+
+def _sorted_pdf(df) -> pd.DataFrame:
+    return (
+        df.toPandas()
+        .sort_values(["doc_id", "order"])
+        .reset_index(drop=True)
+        .astype({"order": "int64"})
+    )
+
+
+def test_upsert_replaces_and_inserts(spark, docs, tmp_path):
+    out = str(tmp_path / "out")
+    pipeline.run(
+        spark, docs_to_spark(spark, docs), out, n_buckets=8,
+        bucket_group_size=1,
+    )
+    before = _sorted_pdf(pipeline.read_output(spark, out))
+    victim = before["doc_id"].iloc[0]
+
+    # fresh batch: one REFRESHED version of an existing doc (single
+    # replacement span) + one brand-new doc
+    fresh = spark.createDataFrame(
+        [
+            (victim, 0, "text", "refreshed content", "", None, None),
+            ("doc-new-001", 0, "text", "new doc", "", None, None),
+        ],
+        schema=pipeline.read_output(spark, out).schema,
+    )
+    stats = up.upsert_docs(spark, out, fresh, snapshot_id="up-1")
+    assert stats["docs_upserted"] == 2
+    assert stats["rows_deleted"] == int((before["doc_id"] == victim).sum())
+
+    after = _sorted_pdf(pipeline.read_output(spark, out))
+    # refreshed doc: exactly the new single span
+    got_victim = after[after["doc_id"] == victim]
+    assert list(got_victim["text"]) == ["refreshed content"]
+    # new doc present
+    assert (after["doc_id"] == "doc-new-001").sum() == 1
+    # everything else untouched
+    rest = after[~after["doc_id"].isin([victim, "doc-new-001"])]
+    expected_rest = before[before["doc_id"] != victim]
+    pd.testing.assert_frame_equal(
+        rest.reset_index(drop=True),
+        expected_rest.reset_index(drop=True),
+        check_dtype=False,
+    )
+    # never two versions of a doc
+    assert after.groupby("doc_id")["order"].apply(
+        lambda s: s.is_unique
+    ).all()
+
+
+def test_upsert_insert_only_batch_rewrites_nothing(spark, docs, tmp_path):
+    out = str(tmp_path / "out")
+    pipeline.run(spark, docs_to_spark(spark, docs), out, n_buckets=4)
+    before = _sorted_pdf(pipeline.read_output(spark, out))
+    fresh = spark.createDataFrame(
+        [("doc-only-new", 0, "text", "hello", "", None, None)],
+        schema=pipeline.read_output(spark, out).schema,
+    )
+    stats = up.upsert_docs(spark, out, fresh, snapshot_id="up-2")
+    assert stats["files_rewritten"] == 0 and stats["rows_deleted"] == 0
+    after = _sorted_pdf(pipeline.read_output(spark, out))
+    assert len(after) == len(before) + 1
+
+
+def test_upsert_composes_with_vacuum(spark, docs, tmp_path):
+    out = str(tmp_path / "out")
+    pipeline.run(
+        spark, docs_to_spark(spark, docs), out, n_buckets=4,
+        bucket_group_size=1,
+    )
+    victim = _sorted_pdf(pipeline.read_output(spark, out))["doc_id"].iloc[0]
+    fresh = spark.createDataFrame(
+        [(victim, 0, "text", "v2", "", None, None)],
+        schema=pipeline.read_output(spark, out).schema,
+    )
+    up.upsert_docs(spark, out, fresh, snapshot_id="up-3")
+    expected = _sorted_pdf(pipeline.read_output(spark, out))
+    removed = lin.vacuum(spark, out)
+    assert removed  # the rewritten file's old version went away
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(pipeline.read_output(spark, out)), expected,
+        check_dtype=False,
+    )
