@@ -287,14 +287,21 @@ def status(
     )
 
 
-def read_output(spark: SparkSession, output_dir: str) -> DataFrame:
+def read_output(
+    spark: SparkSession, output_dir: str, as_of: str | None = None
+) -> DataFrame:
     """Extracted spans, shaped like operators.extract.EXTRACT_DDL.
 
     Manifest-resolved read (the Iceberg snapshot-read model): the scan
     is given exactly the data files referenced by committed lineage
     rows, so orphan files from killed uncommitted writes are invisible
-    without any cleanup pass."""
-    files = lin.committed_files(spark, output_dir)
+    without any cleanup pass.
+
+    ``as_of``: time-travel read — the table as of that ``committed_at``
+    timestamp (inclusive), before any later delete/upsert/compaction;
+    the audit surface for "what did the training run actually read".
+    Valid until ``vacuum`` (see ``lineage.committed_files``)."""
+    files = lin.committed_files(spark, output_dir, as_of=as_of)
     if not files:
         from .schema import EXTRACTED_SPAN_SCHEMA
 

@@ -131,18 +131,30 @@ def read_lineage(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path(output_dir))
 
 
-def committed_files(spark: SparkSession, output_dir: str) -> list[str]:
+def committed_files(
+    spark: SparkSession, output_dir: str, as_of: str | None = None
+) -> list[str]:
     """Union of data files referenced by committed lineage rows — the
     manifest-resolved view of the table (orphans invisible). Files
     referenced by ``replaced`` rows (written by ``plans.compact`` /
     ``plans.delete`` / ``plans.upsert`` in the same atomic append as
     their ``compacted`` / ``rewritten`` / ``upserted`` replacement)
     are shadowed: a reader sees exactly one of {old layout, new
-    layout}."""
+    layout}.
+
+    ``as_of``: time travel — resolve the manifest as of this
+    ``committed_at`` timestamp (inclusive). Lineage appends after it,
+    including the ``replaced`` shadowing of later compactions /
+    deletes / upserts, are ignored, so the returned layout is exactly
+    what a reader saw then (Iceberg snapshot-as-of). Valid until
+    ``vacuum`` physically reclaims files the CURRENT manifest no
+    longer references — vacuum is the snapshot-expiry boundary."""
     try:
         lin = read_lineage(spark, output_dir)
     except Exception:
         return []
+    if as_of is not None:
+        lin = lin.filter(F.col("committed_at") <= as_of)
     rows = (
         lin.filter(
             F.col("status").isin(
