@@ -1100,3 +1100,27 @@ def test_q96_decompound_branches(spark, tmp_path):
     assert (sdf.loc[0, "head"], sdf.loc[0, "tail"], bool(sdf.loc[0, "fugen_s"])) == (
         "rechnung", "", False,
     )
+
+
+def test_q97_host_weighted_mean(spark, tmp_path):
+    """Two docs on one host: the host score is the token-WEIGHTED mean
+    (sum wsum / sum tokens), not the mean of per-doc means."""
+    name = "q97_host_curation"
+    d = _write_docs(
+        tmp_path,
+        [(0, "alpha beta", "en", "hostA"), (8, "alpha", "en", "hostA")],
+    )
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+
+    def w(tok):
+        h = int(hashlib.md5(f"w:{tok}".encode()).hexdigest()[:12], 16)
+        return h % QC_MOD
+
+    row = sdf.set_index("host").loc["hosta.de"]
+    total_w = w("alpha") + w("beta") + w("alpha")
+    assert (row["n_docs"], row["n_tokens"]) == (2, 3)
+    assert row["host_quality_e3"] == total_w * 1000 // 3
+    assert row["verdict"] == (
+        "keep" if total_w * 1000 // 3 >= 500000 else "drop"
+    )

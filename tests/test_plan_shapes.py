@@ -41,6 +41,7 @@ PINNED = {
     "q74_sequence_packing": 1,  # the lane window sort
     "q84_heavy_hitters": 1,  # exact rescore of sketch-selected survivors
     "q95_tokenizer_fertility": 1,  # the languages-sized hash agg
+    "q97_host_curation": 1,  # the hosts-sized hash agg
     "q87_systematic_sample": 1,  # the lane window prefix sum
 }
 
