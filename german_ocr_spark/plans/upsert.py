@@ -32,6 +32,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schema import LINEAGE_SCHEMA
 from . import delete as dl
@@ -74,3 +75,61 @@ def upsert_docs(
         "rows_deleted": stats["rows_deleted"],
         "files_rewritten": stats["files_rewritten"],
     }
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    output_dir: str,
+    as_of_a: str,
+    as_of_b: str | None = None,
+) -> DataFrame:
+    """Document-level audit of what changed between two snapshots —
+    the governance answer to "which documents differ between the
+    table my last training run read (``as_of_a``) and now
+    (``as_of_b``, default current)": one row per changed doc_id with
+    ``change`` ∈ {added, removed, modified}. Unchanged documents emit
+    nothing.
+
+    Spark shape: each side collapses to one row per document (md5
+    over the ordered span content — a map-side-combining aggregate,
+    16-byte states), then a doc-keyed full-outer join of the two
+    digest relations decides the verdict. The corpus bytes never ride
+    the join; only (doc_id, digest) does. The q78 discipline: heavy
+    reads first, full-outer only on the collapsed relations."""
+    from .. import pipeline
+
+    def digests(as_of: str | None) -> DataFrame:
+        spans = pipeline.read_output(spark, output_dir, as_of=as_of)
+        return spans.groupBy("doc_id").agg(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat_ws(
+                                "\x1e",
+                                F.col("order").cast("string"),
+                                "kind",
+                                "text",
+                                "media_ref",
+                            )
+                        )
+                    ),
+                )
+            ).alias("digest")
+        )
+
+    a = digests(as_of_a).withColumnRenamed("digest", "digest_a")
+    b = digests(as_of_b).withColumnRenamed("digest", "digest_b")
+    j = a.join(b, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("digest_a").isNull(), F.lit("added"))
+        .when(F.col("digest_b").isNull(), F.lit("removed"))
+        .otherwise(F.lit("modified"))
+        .alias("change"),
+    ).filter(
+        F.col("digest_a").isNull()
+        | F.col("digest_b").isNull()
+        | (F.col("digest_a") != F.col("digest_b"))
+    )

@@ -452,3 +452,58 @@ def stream_attribute(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_upsert(
+    spark: SparkSession,
+    input_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    committed_at_base: str = "2100-01-01T00:00:00Z",
+) -> StreamingQuery:
+    """Incremental corpus maintenance: every (doc_id, spans) parquet
+    file landing in ``input_dir`` is extracted and MERGED into the
+    manifest-committed table at ``table_dir`` — refreshed documents
+    replace their stale spans, new documents append
+    (``plans.upsert.upsert_docs`` per micro-batch). The streaming twin
+    of the reference's re-submit flow (cloud_client.py:320-384 submits
+    the same filename again to refresh it) and the continuous form of
+    the batch MERGE.
+
+    Exactly-once: the source checkpoint makes each input file feed
+    exactly one micro-batch, and ``foreachBatch`` stamps the batch id
+    into both the snapshot_id and committed_at, so a replayed batch
+    after a crash OVERWRITES its own subdirs and re-appends manifests
+    that resolve to the same final state (the upsert is idempotent per
+    batch id — the same self-cleaning rerun contract as
+    lineage.commit_bucket_group).
+
+    At scale the per-batch work is bounded by the batch's documents:
+    the delete step rewrites only files containing refreshed docs, the
+    append touches nothing else."""
+    from ..plans.upsert import upsert_docs
+
+    docs = spark.readStream.schema(DOCUMENTS_SPANS_SCHEMA).parquet(input_dir)
+    extracted = extract_pipeline(docs)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_docs(
+            batch_df.sparkSession,
+            table_dir,
+            batch_df,
+            snapshot_id=f"stream-b{batch_id:06d}",
+            # monotone in batch id and lexicographically AFTER the
+            # base, so as_of time travel still resolves stream commits
+            # in order (committed_at is compared as a string)
+            committed_at=f"{committed_at_base}+b{batch_id:012d}",
+        )
+
+    writer = extracted.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

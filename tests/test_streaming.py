@@ -294,3 +294,38 @@ def test_stream_attribution_matches_batch(spark, tmp_path):
     assert (got["purchase_id"] == 6).all()
     assert sorted(got["lag_seconds"].tolist()) == [600, 2400]
     assert (got["purchase_value"] == 9.5).all()
+
+
+def test_stream_upsert_merges_into_manifest_table(spark, tmp_path):
+    """foreachBatch MERGE: batch 1 seeds the table; batch 2 re-delivers
+    half the docs (streaming refresh) plus new ones. The final
+    manifest-resolved table holds exactly one version per doc — the
+    latest — and equals the batch extraction of the latest inputs."""
+    from german_ocr_spark import pipeline
+    from german_ocr_spark.streaming.incremental import stream_upsert
+
+    inp = str(tmp_path / "up_in")
+    table = str(tmp_path / "up_table")
+    ckpt = str(tmp_path / "up_ckpt")
+
+    batch1 = synth_docs(60, seed=42)
+    docs_to_spark(spark, batch1).write.mode("append").parquet(inp)
+    q = stream_upsert(spark, inp, table, ckpt)
+    q.awaitTermination(300)
+    got1 = _sorted(pipeline.read_output(spark, table))
+    want1 = _sorted(extract_pipeline(docs_to_spark(spark, batch1)))
+    assert got1.equals(want1)
+
+    # refresh docs 0..29 (same ids, same deterministic content) and add
+    # 30 new ones — the stream must REPLACE, not duplicate
+    batch2 = synth_docs(90, seed=42)[:30] + synth_docs(90, seed=42)[60:]
+    docs_to_spark(spark, batch2).write.mode("append").parquet(inp)
+    q2 = stream_upsert(spark, inp, table, ckpt)
+    q2.awaitTermination(300)
+
+    got2 = _sorted(pipeline.read_output(spark, table))
+    want2 = _sorted(extract_pipeline(docs_to_spark(spark, synth_docs(90, seed=42))))
+    assert got2.equals(want2)
+    # one version per doc: (doc_id, order) unique
+    dupes = got2.groupby(["doc_id", "order"]).size().max()
+    assert dupes == 1

@@ -104,3 +104,44 @@ def test_upsert_composes_with_vacuum(spark, docs, tmp_path):
         _sorted_pdf(pipeline.read_output(spark, out)), expected,
         check_dtype=False,
     )
+
+
+def test_snapshot_diff_reports_exact_changes(spark, docs, tmp_path):
+    from german_ocr_spark.plans import delete as dl
+    from german_ocr_spark.plans import upsert as up2
+
+    T0, T1 = "2026-01-01T00:00:00Z", "2026-01-02T00:00:00Z"
+    out = str(tmp_path / "out")
+    pipeline.run(
+        spark, docs_to_spark(spark, docs), out, n_buckets=4,
+        committed_at=T0,
+    )
+    base = _sorted_pdf(pipeline.read_output(spark, out))
+    doc_ids = sorted(base["doc_id"].unique())
+    victim_del, victim_mod = doc_ids[0], doc_ids[1]
+
+    dl.delete_docs(
+        spark, out, [victim_del], snapshot_id="del-1", committed_at=T1
+    )
+    fresh = spark.createDataFrame(
+        [
+            (victim_mod, 0, "text", "v2", "", None, None),
+            ("doc-added", 0, "text", "brand new", "", None, None),
+        ],
+        schema=pipeline.read_output(spark, out).schema,
+    )
+    up2.upsert_docs(spark, out, fresh, snapshot_id="up-1", committed_at=T1)
+
+    diff = (
+        up2.snapshot_diff(spark, out, as_of_a=T0)
+        .toPandas()
+        .set_index("doc_id")["change"]
+        .to_dict()
+    )
+    assert diff == {
+        victim_del: "removed",
+        victim_mod: "modified",
+        "doc-added": "added",
+    }
+    # identical snapshots diff to empty
+    assert up2.snapshot_diff(spark, out, as_of_a=T1).count() == 0
