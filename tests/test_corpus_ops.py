@@ -1124,3 +1124,30 @@ def test_q97_host_weighted_mean(spark, tmp_path):
     assert row["verdict"] == (
         "keep" if total_w * 1000 // 3 >= 500000 else "drop"
     )
+
+
+def test_q98_calibration_exactness(spark, tmp_path):
+    """Two identical docs: est = exact = 1e6, err 0. A near-dup pair
+    (one token changed out of many) must report exact < 1e6 and the
+    est/exact gap bounded by the 6-component granularity."""
+    name = "q98_minhash_calibration"
+    base = _words("w", 30)
+    near = base.replace("w29", "zzz")
+    d = _write_docs(
+        tmp_path,
+        [(0, base, "en", "s0"), (1, base, "en", "s0"), (2, near, "en", "s0")],
+    )
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    pairs = {
+        (r.doc_a, r.doc_b): r for r in sdf.itertuples(index=False)
+    }
+    dup = pairs[("0", "1")]
+    assert (dup.est_ppm, dup.exact_ppm, dup.abs_err_ppm) == (
+        1000000, 1000000, 0,
+    )
+    for key in (("0", "2"), ("1", "2")):
+        if key in pairs:
+            r = pairs[key]
+            assert r.exact_ppm < 1000000
+            assert r.abs_err_ppm == abs(r.est_ppm - r.exact_ppm)
