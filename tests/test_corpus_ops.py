@@ -1151,3 +1151,36 @@ def test_q98_calibration_exactness(spark, tmp_path):
             r = pairs[key]
             assert r.exact_ppm < 1000000
             assert r.abs_err_ppm == abs(r.est_ppm - r.exact_ppm)
+
+
+def test_q99_pagerank_matches_integer_reference(spark, tmp_path):
+    """3-node planted graph vs a plain-Python replica of the exact
+    integer recurrence (floors and all) — bit equality, and the node
+    every doc links to outranks the teleport-only sources."""
+    name = "q99_host_pagerank"
+    # doc_id 0 -> dst src1; doc_id 5 -> dst src16; two source nodes
+    d = _write_docs(
+        tmp_path, [(0, "x", "en", "a"), (5, "x", "en", "b")]
+    )
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+
+    edges = {("a", "src1"): 1, ("b", "src16"): 1}
+    nodes = {"a", "b", "src1", "src16"}
+    out = {}
+    for (s, _), w in edges.items():
+        out[s] = out.get(s, 0) + w
+    r = {n: 10**9 for n in nodes}
+    for _ in range(3):
+        nxt = {}
+        for n in nodes:
+            s = sum(
+                (r[u] * w) // out[u]
+                for (u, v), w in edges.items()
+                if v == n
+            )
+            nxt[n] = 150_000_000 + (85 * s) // 100
+        r = nxt
+    got = sdf.set_index("host")["rank_e9"].to_dict()
+    assert got == r
+    assert got["src1"] > got["a"]  # linked node outranks leaf sources
