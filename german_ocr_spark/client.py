@@ -1,0 +1,208 @@
+"""Reference-API parity facade: the german-ocr client surface mapped
+1:1 onto the Spark engine, so a user of the reference can switch with
+the same method names and semantics.
+
+| reference | here | semantics kept |
+|---|---|---|
+| ``GermanOCR.extract`` (ocr.py:196-232) | ``GermanOCRSpark.extract`` | one document in → extracted text out; failures return ``""`` with the error surfaced on the result object, never a raise mid-batch |
+| ``GermanOCR.extract_batch`` (ocr.py:234-267) | ``extract_batch`` | input order preserved; per-document failure isolation (``ollama_backend.py:167-172``: append ``""`` and continue) |
+| ``CloudClient.submit`` (cloud_client.py:320-384) | ``submit`` | returns a ``JobStatus`` immediately; work proceeds asynchronously |
+| ``CloudClient.get_job`` (cloud_client.py:386-397) | ``get_job`` | status poll by job_id |
+| ``CloudClient.wait_for_result`` (cloud_client.py:415-462) | ``wait_for_result`` | poll loop with ``poll_interval`` / ``max_wait`` / ``on_progress`` callback; raises on failure, ``TimeoutError`` past ``max_wait`` |
+| ``CloudClient.cancel_job`` (cloud_client.py:399-413) | ``cancel_job`` | swallow-to-False contract |
+| ``CloudClient.analyze`` (cloud_client.py:464-526) | ``analyze`` | submit + wait composite |
+| context manager (cloud_client.py / tests:268-275) | ``with GermanOCRSpark(...)`` | usable in ``with`` blocks |
+
+The async boundary the reference places at HTTP is a driver-side
+worker thread here: ``submit`` launches ``pipeline.run`` on a thread,
+the lineage table is the durable status store (so ``get_job`` works
+from ANY process, not just the submitting one), and cancel goes
+through ``pipeline.cancel`` → ``cancelJobGroup`` + a durable control
+row. Single documents ride the exact same batched mapInPandas
+pipeline as 10^12-document jobs — there is no per-row code path.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import pipeline
+from .operators.extract import extract_pipeline
+from .pipeline import JobStatus
+from .schema import DOCUMENTS_SPANS_SCHEMA
+
+
+@dataclass
+class ExtractResult:
+    """Single-document result (the reference's structured return,
+    ``ollama_backend.py:137-147`` / ``ExtractionResult``,
+    ``extractor.py:50-56``): extracted text plus per-span error
+    surface."""
+
+    doc_id: str
+    text: str
+    success: bool
+    errors: list[str]
+
+
+class GermanOCRSpark:
+    """Drop-in-shaped client over the Spark extraction engine."""
+
+    def __init__(self, spark: SparkSession, workdir: str):
+        self._spark = spark
+        self._workdir = workdir
+        self._jobs: dict[str, dict] = {}
+        self._seq = 0
+
+    # ------------------------------------------------ local batch path
+    def extract(self, doc: tuple) -> ExtractResult:
+        """One ``(doc_id, spans)`` document → extracted text (spans
+        joined in order). Mirrors ``GermanOCR.extract``: errors land
+        on the result, never raise."""
+        return self.extract_batch([doc])[0]
+
+    def extract_batch(self, docs: list[tuple]) -> list[ExtractResult]:
+        """Ordered list in → ordered results out (list position =
+        input position, like ``extract_batch``'s zip contract,
+        ``cli.py:83-93``) — but internally order is carried by doc_id
+        keys through one vectorized pipeline pass, never by list
+        position."""
+        sdf = self._spark.createDataFrame(
+            docs, schema=DOCUMENTS_SPANS_SCHEMA
+        )
+        out = extract_pipeline(sdf)
+        rows = (
+            out.groupBy("doc_id")
+            .agg(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("order", "text")
+                            )
+                        ),
+                        lambda s: s["text"],
+                    ),
+                ).alias("text"),
+                # collect_list skips NULLs, so this is exactly the
+                # non-null error messages of the doc's spans
+                F.collect_list(F.col("error")).alias("errors"),
+            )
+            .collect()
+        )
+        by_id = {r.doc_id: r for r in rows}
+        results = []
+        for doc in docs:
+            r = by_id.get(doc[0])
+            if r is None:  # no spans at all
+                results.append(ExtractResult(doc[0], "", True, []))
+            else:
+                errs = list(r.errors or [])
+                results.append(
+                    ExtractResult(doc[0], r.text, not errs, errs)
+                )
+        return results
+
+    # ------------------------------------------------ async job path
+    def submit(self, docs: DataFrame, n_buckets: int = 8) -> JobStatus:
+        """Launch an extraction job; returns immediately with a
+        pending/processing ``JobStatus`` carrying the job_id."""
+        self._seq += 1
+        job_id = f"job-{self._seq:04d}"
+        out = f"{self._workdir}/{job_id}"
+
+        def work():
+            try:
+                pipeline.run(
+                    self._spark,
+                    docs,
+                    out,
+                    n_buckets=n_buckets,
+                    snapshot_id=job_id,
+                )
+            except Exception:
+                pass  # status() reads the durable lineage state
+
+        t = threading.Thread(target=work, daemon=True)
+        self._jobs[job_id] = {"out": out, "thread": t, "n_buckets": n_buckets}
+        t.start()
+        return JobStatus(job_id, "pending", 0, n_buckets, 0, 0, 0)
+
+    def get_job(self, job_id: str) -> JobStatus:
+        j = self._jobs[job_id]
+        st = pipeline.status(self._spark, j["out"], n_buckets=j["n_buckets"])
+        return JobStatus(
+            job_id,
+            st.status,
+            st.buckets_done,
+            st.buckets_total,
+            st.doc_count,
+            st.span_count,
+            st.error_count,
+        )
+
+    def wait_for_result(
+        self,
+        job_id: str,
+        poll_interval: float = 0.5,
+        max_wait: float = 600.0,
+        on_progress=None,
+    ) -> DataFrame:
+        """Reference poll loop (``cloud_client.py:436-462``): calls
+        ``on_progress(JobStatus)`` each poll, returns the extracted
+        span table on completion, raises ``RuntimeError`` on a
+        cancelled job and ``TimeoutError`` past ``max_wait``."""
+        j = self._jobs[job_id]
+        deadline = time.monotonic() + max_wait
+        while True:
+            st = self.get_job(job_id)
+            if on_progress is not None:
+                on_progress(st)
+            if st.status == "completed":
+                return pipeline.read_output(self._spark, j["out"])
+            if st.status == "cancelled":
+                raise RuntimeError(f"job {job_id} cancelled")
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"job {job_id} not finished after {max_wait}s"
+                )
+            time.sleep(poll_interval)
+
+    def cancel_job(self, job_id: str) -> bool:
+        """Swallow-to-False cancel (``cloud_client.py:399-413``)."""
+        j = self._jobs.get(job_id)
+        if j is None:
+            return False
+        return pipeline.cancel(
+            self._spark, j["out"], snapshot_id=job_id
+        )
+
+    def analyze(
+        self,
+        docs: DataFrame,
+        n_buckets: int = 8,
+        poll_interval: float = 0.5,
+        max_wait: float = 600.0,
+        on_progress=None,
+    ) -> DataFrame:
+        """submit + wait composite (``cloud_client.py:464-526``)."""
+        st = self.submit(docs, n_buckets=n_buckets)
+        return self.wait_for_result(
+            st.job_id,
+            poll_interval=poll_interval,
+            max_wait=max_wait,
+            on_progress=on_progress,
+        )
+
+    # ------------------------------------------------ context manager
+    def __enter__(self) -> "GermanOCRSpark":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        return False

@@ -1,0 +1,75 @@
+"""Reference-API parity facade (client.py): the german-ocr method
+surface — extract / extract_batch / submit / get_job /
+wait_for_result / cancel_job / analyze / context manager — behaves
+like the reference over the Spark engine (order preservation, error
+isolation, poll-loop semantics, swallow-to-False cancel)."""
+
+from __future__ import annotations
+
+import pytest
+
+from german_ocr_spark.client import GermanOCRSpark
+from german_ocr_spark.golden import golden_extract
+from german_ocr_spark.synth import docs_to_spark, synth_docs
+
+
+@pytest.fixture()
+def client(spark, tmp_path):
+    return GermanOCRSpark(spark, str(tmp_path / "jobs"))
+
+
+def test_extract_single_doc(client):
+    docs = synth_docs(3, seed=42)
+    res = client.extract(docs[0])
+    assert res.doc_id == docs[0][0]
+    golden = golden_extract(docs[:1])
+    want = "\n".join(golden.sort_values("order")["text"])
+    assert res.text == want
+
+
+def test_extract_batch_preserves_order_and_isolates_errors(client):
+    docs = synth_docs(40, seed=7)
+    results = client.extract_batch(docs)
+    # list position == input position (the reference zip contract)
+    assert [r.doc_id for r in results] == [d[0] for d in docs]
+    golden = golden_extract(docs)
+    err_docs = set(golden.loc[golden["error"].notna(), "doc_id"])
+    assert err_docs  # the synth corpus plants malformed spans
+    for r in results:
+        assert r.success == (r.doc_id not in err_docs)
+        if not r.success:
+            assert r.errors  # message surfaced, batch not aborted
+
+
+def test_submit_wait_analyze_roundtrip(client, spark):
+    docs = docs_to_spark(spark, synth_docs(50, seed=9))
+    st = client.submit(docs, n_buckets=4)
+    assert st.status in ("pending", "processing", "completed")
+    seen = []
+    out = client.wait_for_result(
+        st.job_id, poll_interval=0.2, max_wait=300,
+        on_progress=lambda s: seen.append(s.buckets_done),
+    )
+    assert out.count() > 0
+    assert seen and seen == sorted(seen)  # monotone progress stream
+    # final status is completed and countable via get_job
+    done = client.get_job(st.job_id)
+    assert done.status == "completed"
+    assert done.span_count == out.count()
+
+
+def test_analyze_composite(client, spark):
+    docs = docs_to_spark(spark, synth_docs(30, seed=13))
+    out = client.analyze(docs, n_buckets=4, poll_interval=0.2)
+    assert out.count() > 0
+
+
+def test_cancel_job_swallow_contract(client):
+    # unknown job id -> False, never a raise (cloud_client.py:399-413)
+    assert client.cancel_job("job-does-not-exist") is False
+
+
+def test_context_manager(spark, tmp_path):
+    with GermanOCRSpark(spark, str(tmp_path / "jobs")) as c:
+        res = c.extract(synth_docs(1, seed=5)[0])
+        assert res.doc_id
