@@ -24,6 +24,9 @@ pipeline as 10^12-document jobs — there is no per-row code path.
 
 from __future__ import annotations
 
+import json
+import os
+import re
 import threading
 import time
 from dataclasses import dataclass
@@ -110,12 +113,32 @@ class GermanOCRSpark:
         return results
 
     # ------------------------------------------------ async job path
+    def _next_job_id(self) -> str:
+        """Durable sequence: continue from the job dirs already in the
+        workdir, so a NEW client instance over an old workdir can never
+        reuse a finished job's id (which would silently return the old
+        job's output for new input — pipeline.run resumes committed
+        buckets by design)."""
+        highest = self._seq
+        if os.path.isdir(self._workdir):
+            for name in os.listdir(self._workdir):
+                m = re.fullmatch(r"job-(\d+)", name)
+                if m:
+                    highest = max(highest, int(m.group(1)))
+        self._seq = highest + 1
+        return f"job-{self._seq:04d}"
+
     def submit(self, docs: DataFrame, n_buckets: int = 8) -> JobStatus:
         """Launch an extraction job; returns immediately with a
-        pending/processing ``JobStatus`` carrying the job_id."""
-        self._seq += 1
-        job_id = f"job-{self._seq:04d}"
+        pending/processing ``JobStatus`` carrying the job_id. The job
+        config is persisted next to the lineage, so ``get_job`` works
+        from ANY process over the same workdir."""
+        job_id = self._next_job_id()
         out = f"{self._workdir}/{job_id}"
+        os.makedirs(out, exist_ok=True)
+        with open(f"{out}/_job.json", "w") as fh:
+            json.dump({"job_id": job_id, "n_buckets": n_buckets}, fh)
+        entry = {"out": out, "n_buckets": n_buckets, "error": None}
 
         def work():
             try:
@@ -126,20 +149,46 @@ class GermanOCRSpark:
                     n_buckets=n_buckets,
                     snapshot_id=job_id,
                 )
-            except Exception:
-                pass  # status() reads the durable lineage state
+            except Exception as exc:  # surfaced via get_job as 'failed'
+                entry["error"] = repr(exc)
 
         t = threading.Thread(target=work, daemon=True)
-        self._jobs[job_id] = {"out": out, "thread": t, "n_buckets": n_buckets}
+        entry["thread"] = t
+        self._jobs[job_id] = entry
         t.start()
         return JobStatus(job_id, "pending", 0, n_buckets, 0, 0, 0)
 
+    def _job_entry(self, job_id: str) -> dict:
+        j = self._jobs.get(job_id)
+        if j is None:  # cross-process lookup via the persisted config
+            out = f"{self._workdir}/{job_id}"
+            with open(f"{out}/_job.json") as fh:
+                cfg = json.load(fh)
+            j = {
+                "out": out,
+                "n_buckets": cfg["n_buckets"],
+                "error": None,
+                "thread": None,
+            }
+            self._jobs[job_id] = j
+        return j
+
     def get_job(self, job_id: str) -> JobStatus:
-        j = self._jobs[job_id]
+        j = self._job_entry(job_id)
         st = pipeline.status(self._spark, j["out"], n_buckets=j["n_buckets"])
+        status = st.status
+        t = j.get("thread")
+        if (
+            status not in ("completed", "cancelled")
+            and t is not None
+            and not t.is_alive()
+        ):
+            # worker died without completing: the reference's 'failed'
+            # terminal state (cloud_client.py:443-452)
+            status = "failed"
         return JobStatus(
             job_id,
-            st.status,
+            status,
             st.buckets_done,
             st.buckets_total,
             st.doc_count,
@@ -157,8 +206,9 @@ class GermanOCRSpark:
         """Reference poll loop (``cloud_client.py:436-462``): calls
         ``on_progress(JobStatus)`` each poll, returns the extracted
         span table on completion, raises ``RuntimeError`` on a
-        cancelled job and ``TimeoutError`` past ``max_wait``."""
-        j = self._jobs[job_id]
+        cancelled or failed job (``cloud_client.py:443-452``) and
+        ``TimeoutError`` past ``max_wait``."""
+        j = self._job_entry(job_id)
         deadline = time.monotonic() + max_wait
         while True:
             st = self.get_job(job_id)
@@ -168,6 +218,10 @@ class GermanOCRSpark:
                 return pipeline.read_output(self._spark, j["out"])
             if st.status == "cancelled":
                 raise RuntimeError(f"job {job_id} cancelled")
+            if st.status == "failed":
+                raise RuntimeError(
+                    f"job {job_id} failed: {j.get('error')}"
+                )
             if time.monotonic() >= deadline:
                 raise TimeoutError(
                     f"job {job_id} not finished after {max_wait}s"
@@ -176,8 +230,9 @@ class GermanOCRSpark:
 
     def cancel_job(self, job_id: str) -> bool:
         """Swallow-to-False cancel (``cloud_client.py:399-413``)."""
-        j = self._jobs.get(job_id)
-        if j is None:
+        try:
+            j = self._job_entry(job_id)
+        except Exception:
             return False
         return pipeline.cancel(
             self._spark, j["out"], snapshot_id=job_id

@@ -82,7 +82,7 @@ def plan_compaction(
 def _file_sizes(
     spark: SparkSession, data_dir: str, rel_files: list[str]
 ) -> list[tuple[str, int]]:
-    fs, _ = _fs(spark, data_dir)
+    fs, _ = lin._hadoop_fs(spark, data_dir)
     out = []
     for rel in rel_files:
         p = spark._jvm.org.apache.hadoop.fs.Path(os.path.join(data_dir, rel))
@@ -90,22 +90,22 @@ def _file_sizes(
     return out
 
 
-def _fs(spark: SparkSession, path: str):
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
-
-
 def compact(
     spark: SparkSession,
     output_dir: str,
     target_bytes: int = DEFAULT_TARGET_BYTES,
     snapshot_id: str = "compact-0001",
-    committed_at: str = "1970-01-01T00:00:00Z",
+    committed_at: str | None = None,
     min_input_files: int = 2,
 ) -> dict:
     """Rewrite committed small files into ~``target_bytes`` files.
     Returns ``{"bins": n, "files_in": n, "files_out": n}``. No-op
-    (and no lineage append) when nothing qualifies."""
+    (and no lineage append) when nothing qualifies.
+
+    ``snapshot_id`` is single-use (``lineage.assert_snapshot_unused``);
+    ``committed_at`` defaults to a derived stamp sorting after every
+    existing commit so as_of time travel keeps seeing the
+    pre-compaction layout (``lineage.next_committed_at``)."""
     d = lin.data_path(output_dir)
     committed = [
         os.path.relpath(f, d) for f in lin.committed_files(spark, output_dir)
@@ -113,6 +113,10 @@ def compact(
     bins = plan_compaction(
         _file_sizes(spark, d, committed), target_bytes, min_input_files
     )
+    if bins:
+        lin.assert_snapshot_unused(spark, output_dir, snapshot_id)
+        if committed_at is None:
+            committed_at = lin.next_committed_at(spark, output_dir)
     files_in = files_out = 0
     for i, bin_files in enumerate(bins):
         subdir = f"{snapshot_id}-c{i:05d}"

@@ -45,12 +45,18 @@ def delete_docs(
     output_dir: str,
     doc_ids: list[str],
     snapshot_id: str = "delete-0001",
-    committed_at: str = "1970-01-01T00:00:00Z",
+    committed_at: str | None = None,
 ) -> dict:
     """Remove every span of ``doc_ids`` from the committed table by
     rewriting only the affected files. Returns ``{"files_rewritten":
     n, "rows_deleted": n}``; a batch touching nothing is a no-op with
-    no lineage append."""
+    no lineage append.
+
+    ``snapshot_id`` is single-use (``lineage.assert_snapshot_unused``
+    runs after the no-op early returns, so a crash-replay that finds
+    its victims already gone never trips it); ``committed_at`` defaults
+    to a derived stamp sorting after every existing commit, keeping the
+    pre-delete snapshot reachable via as_of time travel."""
     files = lin.committed_files(spark, output_dir)
     if not files or not doc_ids:
         return {"files_rewritten": 0, "rows_deleted": 0}
@@ -78,15 +84,25 @@ def delete_docs(
         if any(a.endswith("/" + rel) for a in affected)
     )
 
-    # 2. rewrite the affected files minus the victims (one small job
-    # bounded by the affected-file bytes, not the table)
-    src = spark.read.parquet(*(os.path.join(d, r) for r in old_rel))
-    n_before = src.count()
+    lin.assert_snapshot_unused(spark, output_dir, snapshot_id)
+    if committed_at is None:
+        committed_at = lin.next_committed_at(spark, output_dir)
+
+    # 2. rewrite the affected files minus the victims (ONE small job
+    # bounded by the affected-file bytes, not the table). The deletion
+    # count rides the write itself: the Observation sits upstream of
+    # the filter, so it sees every source row during the single pass
+    # (the commit_bucket_group observe-on-write pattern).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    src = spark.read.parquet(*(os.path.join(d, r) for r in old_rel)).observe(
+        obs, F.sum(F.when(victims, 1).otherwise(0)).alias("n_del")
+    )
     subdir = f"{snapshot_id}-d00000"
     dest = os.path.join(d, subdir)
-    kept = src.filter(~victims)
-    kept.write.mode("overwrite").parquet(dest)
-    n_after = spark.read.parquet(dest).count()
+    src.filter(~victims).write.mode("overwrite").parquet(dest)
+    n_deleted = int(obs.get["n_del"] or 0)
     new_files = sorted(
         f"{subdir}/{n}" for n in lin._list_dir_files(spark, dest)
     )
@@ -103,5 +119,5 @@ def delete_docs(
     ).write.mode("append").parquet(lin.lineage_path(output_dir))
     return {
         "files_rewritten": len(old_rel),
-        "rows_deleted": int(n_before - n_after),
+        "rows_deleted": n_deleted,
     }

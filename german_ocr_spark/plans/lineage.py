@@ -315,3 +315,52 @@ def mark_resumed(
     ``status()`` reports cancelled iff cancelled rows outnumber resumed
     rows (and the job is not complete)."""
     _control_rows(spark, output_dir, snapshot_id, "resumed", at, n=n)
+
+
+# ------------------------------------------------- mutation safety rails
+MUTATION_STATUSES = ("compacted", "rewritten", "upserted", "replaced")
+
+
+def assert_snapshot_unused(
+    spark: SparkSession, output_dir: str, snapshot_id: str
+) -> None:
+    """A mutation snapshot_id is a SINGLE-USE token: its rewrite
+    subdirs are deterministic (``<snap>-c/-d/-u...``) and written with
+    mode=overwrite, so re-running a mutation under an ALREADY-COMMITTED
+    snapshot_id would physically clobber files the manifest still
+    references. Callers invoke this immediately before their first
+    write (after no-op early returns, so crash-replays that find
+    nothing to do never trip it); a crashed attempt that never appended
+    lineage passes and self-cleans via the overwrite."""
+    try:
+        ldf = read_lineage(spark, output_dir)
+    except Exception:
+        return
+    n = (
+        ldf.filter(
+            (F.col("snapshot_id") == snapshot_id)
+            & F.col("status").isin(*MUTATION_STATUSES)
+        ).count()
+    )
+    if n:
+        raise ValueError(
+            f"snapshot_id {snapshot_id!r} already committed a mutation in "
+            f"{output_dir!r}; mutation snapshot ids are single-use — pick a "
+            "new one (reuse would overwrite manifest-live files)"
+        )
+
+
+def next_committed_at(spark: SparkSession, output_dir: str) -> str:
+    """Deterministic committed_at for a mutation when the caller did
+    not supply one: the lexicographic maximum of all existing stamps
+    plus a ``+m`` suffix, so the new commit sorts strictly AFTER every
+    commit already in the table (as_of time travel stays correct — an
+    epoch-default stamp would make the mutation retroactively visible
+    to every historical as_of read). No wall clock: derived purely
+    from table state, monotone under repeated application."""
+    try:
+        ldf = read_lineage(spark, output_dir)
+        cur = ldf.agg(F.max("committed_at")).collect()[0][0]
+    except Exception:
+        cur = None
+    return f"{cur}+m" if cur else "1970-01-01T00:00:00Z+m"

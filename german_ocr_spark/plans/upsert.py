@@ -44,11 +44,20 @@ def upsert_docs(
     output_dir: str,
     fresh: DataFrame,
     snapshot_id: str = "upsert-0001",
-    committed_at: str = "1970-01-01T00:00:00Z",
+    committed_at: str | None = None,
 ) -> dict:
     """Replace-or-insert every document present in ``fresh``.
     Returns ``{"docs_upserted": n, "rows_deleted": n,
-    "files_rewritten": n}``."""
+    "files_rewritten": n}``.
+
+    ``snapshot_id`` is single-use (guarded for both the delete's and
+    the insert's subdirs); ``committed_at`` defaults to ONE derived
+    stamp shared by both phases, so an as_of read at that stamp sees
+    the post-merge table atomically and any earlier as_of sees the
+    pre-merge table."""
+    lin.assert_snapshot_unused(spark, output_dir, snapshot_id)
+    if committed_at is None:
+        committed_at = lin.next_committed_at(spark, output_dir)
     doc_ids = [r.doc_id for r in fresh.select("doc_id").distinct().collect()]
     stats = dl.delete_docs(
         spark,

@@ -460,7 +460,7 @@ def stream_upsert(
     table_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
-    committed_at_base: str = "2100-01-01T00:00:00Z",
+    committed_at_base: str | None = None,
 ) -> StreamingQuery:
     """Incremental corpus maintenance: every (doc_id, spans) parquet
     file landing in ``input_dir`` is extracted and MERGED into the
@@ -472,34 +472,69 @@ def stream_upsert(
     the batch MERGE.
 
     Exactly-once: the source checkpoint makes each input file feed
-    exactly one micro-batch, and ``foreachBatch`` stamps the batch id
-    into both the snapshot_id and committed_at, so a replayed batch
-    after a crash OVERWRITES its own subdirs and re-appends manifests
-    that resolve to the same final state (the upsert is idempotent per
-    batch id — the same self-cleaning rerun contract as
-    lineage.commit_bucket_group).
+    exactly one micro-batch under a stable batch_id, and the merge is
+    replay-safe in both crash windows. (a) Crash BEFORE the batch's
+    final ``upserted`` lineage row: the replay's delete phase finds its
+    victims already removed (or never present) and no-ops, and the
+    insert re-write overwrites only its own never-committed subdir —
+    the lineage.commit_bucket_group self-cleaning contract. (b) Crash
+    AFTER the lineage commit but before the streaming checkpoint
+    advances: the replay detects the batch's ``upserted`` row already
+    in the manifest and SKIPS the whole merge — re-running it would
+    clobber manifest-live files (the snapshot-id single-use rule).
 
     At scale the per-batch work is bounded by the batch's documents:
     the delete step rewrites only files containing refreshed docs, the
     append touches nothing else."""
+    from ..plans import lineage as lin
     from ..plans.upsert import upsert_docs
 
     docs = spark.readStream.schema(DOCUMENTS_SPANS_SCHEMA).parquet(input_dir)
     extracted = extract_pipeline(docs)
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        upsert_docs(
-            batch_df.sparkSession,
-            table_dir,
-            batch_df,
-            snapshot_id=f"stream-b{batch_id:06d}",
-            # monotone in batch id and lexicographically AFTER the
-            # base, so as_of time travel still resolves stream commits
-            # in order (committed_at is compared as a string)
-            committed_at=f"{committed_at_base}+b{batch_id:012d}",
+    def _batch_already_committed(sess, snapshot_id: str) -> bool:
+        try:
+            ldf = lin.read_lineage(sess, table_dir)
+        except Exception:
+            return False
+        return bool(
+            ldf.filter(
+                (F.col("snapshot_id") == snapshot_id)
+                & (F.col("status") == "upserted")
+            ).count()
         )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_id = f"stream-b{batch_id:06d}"
+        sess = batch_df.sparkSession
+        if _batch_already_committed(sess, snapshot_id):
+            return  # checkpoint-replay of a fully-committed batch
+        # one evaluation of the batch pipeline for the emptiness check,
+        # the doc_id projection inside upsert_docs, AND the write
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            # committed_at: default derives the next monotone stamp
+            # from the table itself (lin.next_committed_at via
+            # upsert_docs), so stream commits slot AFTER all existing
+            # commits and as_of time travel at real timestamps still
+            # sees them; an explicit base gets the batch id appended
+            # (monotone, string-compared).
+            stamp = (
+                f"{committed_at_base}+b{batch_id:012d}"
+                if committed_at_base is not None
+                else None
+            )
+            upsert_docs(
+                sess,
+                table_dir,
+                batch_df,
+                snapshot_id=snapshot_id,
+                committed_at=stamp,
+            )
+        finally:
+            batch_df.unpersist()
 
     writer = extracted.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint_dir

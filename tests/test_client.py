@@ -73,3 +73,33 @@ def test_context_manager(spark, tmp_path):
     with GermanOCRSpark(spark, str(tmp_path / "jobs")) as c:
         res = c.extract(synth_docs(1, seed=5)[0])
         assert res.doc_id
+
+
+def test_job_ids_are_durable_across_instances(client, spark, tmp_path):
+    """A NEW client over the same workdir must continue the job-id
+    sequence (reusing a finished id would silently return the old
+    job's output) and must be able to poll the old job via the
+    persisted config."""
+    docs = docs_to_spark(spark, synth_docs(20, seed=17))
+    st1 = client.submit(docs, n_buckets=4)
+    client.wait_for_result(st1.job_id, poll_interval=0.2, max_wait=300)
+
+    fresh = GermanOCRSpark(spark, client._workdir)
+    # cross-instance status poll through the durable store
+    assert fresh.get_job(st1.job_id).status == "completed"
+    st2 = fresh.submit(docs_to_spark(spark, synth_docs(5, seed=18)),
+                       n_buckets=4)
+    assert st2.job_id != st1.job_id
+    out = fresh.wait_for_result(st2.job_id, poll_interval=0.2, max_wait=300)
+    # the new job's output is the NEW input's extraction (5 docs), not
+    # a replay of the old job's 20-doc result
+    assert out.select("doc_id").distinct().count() <= 5
+
+
+def test_failed_job_raises_not_timeout(client, spark):
+    # wrong schema -> pipeline.run raises inside the worker; the poll
+    # loop must surface 'failed' quickly instead of burning max_wait
+    bad = spark.createDataFrame([(1, "x")], "a long, b string")
+    st = client.submit(bad, n_buckets=4)
+    with pytest.raises(RuntimeError, match="failed"):
+        client.wait_for_result(st.job_id, poll_interval=0.2, max_wait=60)

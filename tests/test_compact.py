@@ -124,3 +124,26 @@ def test_compact_is_idempotent_under_new_snapshot(spark, docs, tmp_path):
         _sorted_pdf(pipeline.read_output(spark, out)), before,
         check_dtype=False,
     )
+
+
+def test_snapshot_id_is_single_use(spark, docs, tmp_path):
+    """Re-running a mutation under an already-committed snapshot_id
+    must refuse loudly — its deterministic overwrite subdirs would
+    clobber manifest-live files."""
+    out = str(tmp_path / "out")
+    pipeline.run(
+        spark, docs_to_spark(spark, docs), out, n_buckets=4,
+        bucket_group_size=1,
+    )
+    # compact twice under one id: second must raise, table intact
+    cp.compact(spark, out, target_bytes=1 << 30, snapshot_id="c-reuse")
+    before = _sorted_pdf(pipeline.read_output(spark, out))
+    with pytest.raises(ValueError, match="single-use"):
+        cp.compact(
+            spark, out, target_bytes=1 << 30, snapshot_id="c-reuse",
+            min_input_files=1,
+        )
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(pipeline.read_output(spark, out)), before,
+        check_dtype=False,
+    )

@@ -112,3 +112,22 @@ def test_delete_composes_with_compaction(spark, docs, tmp_path):
     expected = before[before["doc_id"] != victim].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
     assert pipeline.status(spark, out, n_buckets=8).status == "completed"
+
+
+def test_delete_snapshot_id_reuse_refused(spark, docs, tmp_path):
+    out = str(tmp_path / "out")
+    pipeline.run(
+        spark, docs_to_spark(spark, docs), out, n_buckets=4,
+        bucket_group_size=1,
+    )
+    ids = sorted(
+        _sorted_pdf(pipeline.read_output(spark, out))["doc_id"].unique()
+    )
+    dl.delete_docs(spark, out, [ids[0]], snapshot_id="del-reuse")
+    before = _sorted_pdf(pipeline.read_output(spark, out))
+    with pytest.raises(ValueError, match="single-use"):
+        dl.delete_docs(spark, out, [ids[1]], snapshot_id="del-reuse")
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(pipeline.read_output(spark, out)), before,
+        check_dtype=False,
+    )

@@ -329,3 +329,28 @@ def test_stream_upsert_merges_into_manifest_table(spark, tmp_path):
     # one version per doc: (doc_id, order) unique
     dupes = got2.groupby(["doc_id", "order"]).size().max()
     assert dupes == 1
+
+
+def test_stream_upsert_checkpoint_replay_is_skipped(spark, tmp_path):
+    """Crash-after-commit replay: a fresh checkpoint over the same
+    input re-delivers batch 0 whose `upserted` row is already in the
+    manifest — the merge must SKIP it (re-running would clobber
+    manifest-live files), leaving the table byte-identical."""
+    from german_ocr_spark import pipeline
+    from german_ocr_spark.streaming.incremental import stream_upsert
+
+    inp = str(tmp_path / "rp_in")
+    table = str(tmp_path / "rp_table")
+
+    docs = synth_docs(40, seed=23)
+    docs_to_spark(spark, docs).write.mode("append").parquet(inp)
+    q = stream_upsert(spark, inp, table, str(tmp_path / "rp_ckpt1"))
+    q.awaitTermination(300)
+    before = _sorted(pipeline.read_output(spark, table))
+
+    # simulate the lost-checkpoint replay: same input, NEW checkpoint
+    # -> the source re-delivers everything as batch 0 again
+    q2 = stream_upsert(spark, inp, table, str(tmp_path / "rp_ckpt2"))
+    q2.awaitTermination(300)
+    after = _sorted(pipeline.read_output(spark, table))
+    assert after.equals(before)

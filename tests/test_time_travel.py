@@ -93,3 +93,25 @@ def test_vacuum_is_the_expiry_boundary(spark, docs, tmp_path):
     # must fail loudly, not silently return partial data
     with pytest.raises(Exception):
         pipeline.read_output(spark, out, as_of=T0).collect()
+
+
+def test_default_mutation_stamp_preserves_history(spark, docs, tmp_path):
+    """A delete WITHOUT an explicit committed_at must derive a stamp
+    sorting after every existing commit — never the epoch default that
+    would make it retroactively visible to all as_of reads."""
+    out = str(tmp_path / "out")
+    pipeline.run(
+        spark, docs_to_spark(spark, docs), out, n_buckets=4,
+        committed_at=T0,
+    )
+    v0 = _sorted_pdf(pipeline.read_output(spark, out))
+    victim = v0["doc_id"].iloc[0]
+    dl.delete_docs(spark, out, [victim], snapshot_id="del-default")
+    # current view reflects the delete; as-of the ORIGINAL stamp does not
+    assert victim not in set(
+        _sorted_pdf(pipeline.read_output(spark, out))["doc_id"]
+    )
+    pd.testing.assert_frame_equal(
+        _sorted_pdf(pipeline.read_output(spark, out, as_of=T0)), v0,
+        check_dtype=False,
+    )
