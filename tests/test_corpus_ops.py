@@ -1184,3 +1184,27 @@ def test_q99_pagerank_matches_integer_reference(spark, tmp_path):
     got = sdf.set_index("host")["rank_e9"].to_dict()
     assert got == r
     assert got["src1"] > got["a"]  # linked node outranks leaf sources
+
+
+def test_q100_mojibake_planted_damage_and_lossless_repair(spark, tmp_path):
+    """doc 0 (residue 0) is damaged and carries ä+ö+ß -> 3 hits; doc 4
+    (residue 0) is damaged but has no German chars -> 0 hits and NOT
+    counted as mojibake; docs 1/3 are undamaged; repair round-trips on
+    every document."""
+    name = "q100_mojibake_repair"
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, "value group plain", "de", "src0"),
+            (1, "value value", "de", "src0"),
+            (3, "plain only", "de", "src0"),
+            (4, "no markers here", "de", "src0"),
+        ],
+    )
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    row = sdf.set_index("source").loc["src0"]
+    assert row["n_docs"] == 4
+    assert row["mojibake_docs"] == 1
+    assert row["umlaut_hits"] == 3
+    assert row["repaired_ok_docs"] == 4
