@@ -1208,3 +1208,49 @@ def test_q100_mojibake_planted_damage_and_lossless_repair(spark, tmp_path):
     assert row["mojibake_docs"] == 1
     assert row["umlaut_hits"] == 3
     assert row["repaired_ok_docs"] == 4
+
+
+def test_q101_savings_histogram_collapses_padded_recrawl(spark, tmp_path):
+    """docs 0 and 7 (residue 0) are re-crawled with padding by the
+    query's planting rule; canonical fp collapses all four 'hello
+    world' variants into one size-4 group (redundant: 3 docs, 41 chars
+    = 11+15+15 over the 11-char keeper); doc 3 stays a singleton."""
+    name = "q101_dedup_savings"
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, "hello world", "de", "src0"),
+            (7, "hello world", "de", "src0"),
+            (3, "unique", "de", "src0"),
+        ],
+    )
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by_sz = sdf.set_index("group_size")
+    assert by_sz.loc[4, "n_groups"] == 1
+    assert by_sz.loc[4, "redundant_docs"] == 3
+    assert by_sz.loc[4, "redundant_chars"] == 41
+    assert by_sz.loc[1, "n_groups"] == 1
+    assert by_sz.loc[1, "redundant_docs"] == 0
+
+
+def test_q102_simpson_hand_computed(spark, tmp_path):
+    """de: sources (3,1) -> n=4, s2=10 -> (16-10)*1e6 div 16 = 375000;
+    en: single source -> 0 diversity."""
+    name = "q102_source_diversity"
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, "a", "de", "src0"),
+            (1, "b", "de", "src0"),
+            (2, "c", "de", "src0"),
+            (3, "d", "de", "src1"),
+            (4, "e", "en", "src2"),
+            (5, "f", "en", "src2"),
+        ],
+    )
+    sdf = QUERIES[name](spark, d).toPandas().set_index("lang")
+    assert compare(sdf.reset_index(), _oracle(d, name)) is None
+    assert sdf.loc["de", "simpson_e6"] == 375000
+    assert sdf.loc["de", "n_sources"] == 2
+    assert sdf.loc["en", "simpson_e6"] == 0
