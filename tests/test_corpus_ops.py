@@ -1254,3 +1254,41 @@ def test_q102_simpson_hand_computed(spark, tmp_path):
     assert sdf.loc["de", "simpson_e6"] == 375000
     assert sdf.loc["de", "n_sources"] == 2
     assert sdf.loc["en", "simpson_e6"] == 0
+
+
+def test_q103_yield_and_exact_roundtrip(spark, tmp_path):
+    """10-char main text inside the 62-char construction -> yield
+    161290 ppm; the regex block equals the main text exactly."""
+    name = "q103_extraction_yield"
+    d = _write_docs(tmp_path, [(0, "hello welt", "de", "srcA")])
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    row = sdf.iloc[0]
+    assert row["extracted_chars"] == 10
+    assert row["exact_ok_docs"] == 1
+    assert row["yield_ppm"] == row["extracted_chars"] * 1000000 // row["wire_chars"]
+
+
+def test_q104_profile_counts_planted_violations(spark, tmp_path):
+    """null text (counts as null AND blank), padded-blank text,
+    negative id, blank lang, and a stale n_chars are each counted in
+    exactly the right cell."""
+    name = "q104_ingest_profile"
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, None, "de", "src0", 5),
+            (1, "abc", "de", "src0", 99),
+            (2, "  ", "de", "src0", 2),
+            (-3, "x", " ", "src0", 1),
+        ],
+    )
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    v = sdf.set_index(["col", "metric"])["value"]
+    assert v[("text", "nulls")] == 1
+    assert v[("text", "blanks")] == 2
+    assert v[("text", "max_len")] == 3
+    assert v[("doc_id", "negatives")] == 1
+    assert v[("lang", "blanks")] == 1
+    assert v[("n_chars", "mismatches")] == 1
