@@ -1292,3 +1292,54 @@ def test_q104_profile_counts_planted_violations(spark, tmp_path):
     assert v[("doc_id", "negatives")] == 1
     assert v[("lang", "blanks")] == 1
     assert v[("n_chars", "mismatches")] == 1
+
+
+def test_q105_centroid_update_matches_numpy(spark, tmp_path):
+    """One Lloyd step on the live sf0.001 embeddings: per-cell means
+    must equal a numpy replica of assign->mean (floor6), and member
+    counts must cover the whole corpus exactly once."""
+    import numpy as np
+
+    name = "q105_kmeans_update"
+    sf = "/root/testdata/sf0.001"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    emb = emb[emb["embedding"].apply(len) > 0]
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()}
+    cents = {i: vecs[i] for i in range(16) if i in vecs}
+    members = {}
+    for vid, v in vecs.items():
+        if vid < 16:
+            continue
+        best = min(cents, key=lambda c: (float(((v - cents[c]) ** 2).sum()), c))
+        members.setdefault(best, []).append(v)
+    # every corpus vector lands in exactly one cell
+    assert sdf.groupby("cell")["n_members"].first().sum() == sum(
+        len(m) for m in members.values()
+    )
+    for (cell, pos), grp in sdf.groupby(["cell", "pos"]):
+        arr = np.stack(members[cell])
+        want = np.floor(arr[:, pos - 1].mean() * 1e6) / 1e6
+        got = float(grp["mean_f6"].iloc[0])
+        assert abs(got - want) <= 1e-6, (cell, pos, got, want)
+
+
+def test_q106_sample_is_threshold_ranked_and_capped(spark, tmp_path):
+    """Every sampled hash is under the prefilter threshold, ranks are
+    1..n<=K per lang, and the draw equals the oracle bit-for-bit."""
+    from german_ocr_spark.queries import INSPECT_K, INSPECT_PRE_T
+
+    name = "q106_inspection_sample"
+    sf = "/root/testdata/sf0.001"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    assert (sdf["h16"] < INSPECT_PRE_T).all()
+    for lang, grp in sdf.groupby("lang"):
+        assert list(grp.sort_values("rk")["rk"]) == list(
+            range(1, len(grp) + 1)
+        )
+        assert len(grp) <= INSPECT_K
