@@ -1343,3 +1343,42 @@ def test_q106_sample_is_threshold_ranked_and_capped(spark, tmp_path):
             range(1, len(grp) + 1)
         )
         assert len(grp) <= INSPECT_K
+
+
+def test_q107_dupspan_merge_and_counts(spark, tmp_path):
+    """Planted duplicate runs: a 7-token run shared by two docs merges
+    its three overlapping 5-gram hits into ONE span covering exactly 7
+    tokens; a 5-token run repeated twice inside one doc (and once in
+    another) yields TWO merged spans; a fully unique doc emits no row.
+    Hand-computed counts + oracle parity on the planted fixture."""
+    shared7 = "s1 s2 s3 s4 s5 s6 s7"
+    run5 = "t1 t2 t3 t4 t5"
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, f"a1 a2 a3 {shared7} a4 a5", "de", "srcA"),
+            (2, f"b1 b2 {shared7} b3", "de", "srcA"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8", "de", "srcB"),
+            (4, f"d1 {run5} d2 d3 d4 d5 {run5} d6", "de", "srcB"),
+            (5, f"e1 {run5} e2", "de", "srcB"),
+        ],
+    )
+    name = "q107_dupspan_removal"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    got = {
+        int(r.doc_id): (int(r.n_tokens), int(r.dup_tokens), int(r.dup_spans))
+        for r in sdf.itertuples()
+    }
+    # doc 1: 12 tokens, gram starts {4,5,6} merge to one 7-token span
+    # doc 2: 10 tokens, starts {3,4,5} -> one 7-token span
+    # doc 4: 16 tokens, starts {2,11}, gap 9 >= K -> two 5-token spans
+    # doc 5:  7 tokens, start {2} -> one 5-token span
+    assert got == {
+        1: (12, 7, 1),
+        2: (10, 7, 1),
+        4: (16, 10, 2),
+        5: (7, 5, 1),
+    }
+    keep = {int(r.doc_id): r.keep_ratio for r in sdf.itertuples()}
+    assert keep[1] == pytest.approx((12 - 7) / 12, abs=2e-6)
