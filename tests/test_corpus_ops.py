@@ -1382,3 +1382,42 @@ def test_q107_dupspan_merge_and_counts(spark, tmp_path):
     }
     keep = {int(r.doc_id): r.keep_ratio for r in sdf.itertuples()}
     assert keep[1] == pytest.approx((12 - 7) / 12, abs=2e-6)
+
+
+def test_q108_langmix_hand_computed(spark, tmp_path):
+    """Two languages with 100 vs 400 tokens: sqrt basis 10 vs 20, so
+    temp shares are 1/3 and 2/3 against raw shares 0.2 / 0.8 and the
+    low-resource boost is (10*500)/(30*100) = 5/3."""
+    lo = " ".join(f"w{i}" for i in range(100))
+    hi = " ".join(f"v{i}" for i in range(400))
+    sf = _write_docs(
+        tmp_path, [(1, lo, "lo", "s"), (2, hi, "hi", "s")]
+    )
+    name = "q108_language_mix"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    r = {row.lang: row for row in sdf.itertuples()}
+    assert (r["lo"].n_tokens, r["hi"].n_tokens) == (100, 400)
+    assert r["lo"].raw_share == pytest.approx(0.2, abs=2e-6)
+    assert r["lo"].temp_share == pytest.approx(1 / 3, abs=2e-6)
+    assert r["hi"].temp_share == pytest.approx(2 / 3, abs=2e-6)
+    assert r["lo"].epoch_boost == pytest.approx(5 / 3, abs=2e-6)
+    assert r["hi"].epoch_boost == pytest.approx(5 / 6, abs=2e-6)
+
+
+def test_q109_nfc_composes_planted_sequences(spark, tmp_path):
+    """Every 'a' gains a combining diaeresis; NFC must compose each
+    back into one precomposed codepoint, so n_composed == count('a')
+    and the normalized hash equals the hand-built expectation."""
+    sf = _write_docs(
+        tmp_path,
+        [(1, "Bar baz", "de", "s"), (2, "Ohne Treffer", "de", "s")],
+    )
+    name = "q109_nfc_normalize"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    got = {int(r.doc_id): r for r in sdf.itertuples()}
+    assert got[1].n_composed == 2
+    assert got[2].n_composed == 0
+    exp = hashlib.md5("Bär bäz".encode()).hexdigest()[:16]
+    assert got[1].norm_hash == exp
