@@ -305,3 +305,42 @@ def frame_sample(media: DataFrame, every_k: int = 5) -> DataFrame:
     1→N fan-out shape (one task's input row becomes many output rows,
     so a long video never needs to fit any single downstream batch)."""
     return media.mapInPandas(_frame_kernel(every_k), schema=FRAMES_DDL)
+
+
+# aHash parameters: an 8x8 mean grid gives a 64-bit signature; 4 bands
+# of 16 bits guarantee (pigeonhole) that any pair within hamming
+# distance 3 shares at least one identical band, so the banded
+# equi-join below has ZERO false negatives at AHASH_HAM_MAX = 3. At
+# larger corpora keep bands*band_bits = 64 and widen bands (8x8-bit)
+# only if the 2^-16 random band-collision rate produces too many
+# candidates — the same budget trade as the text LSH parameters
+# (queries.SH_BAND_BITS, MH_ROWS_PER_BAND).
+AHASH_GRID = 8
+AHASH_BANDS = 4
+AHASH_BAND_BITS = 16
+AHASH_HAM_MAX = 3
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """64-bit average-hash signature per image: decode + 8x8 box-filter
+    mean grid in the Arrow kernel (``image_resize`` — the only Python
+    stage), then the signature itself is assembled JVM-SIDE from the
+    grid array (fold for the mean, zip_with for the bits), so adding a
+    signature costs no second Python pass. Failed decodes keep their
+    error columns and a NULL ahash."""
+    from pyspark.sql import functions as F
+
+    g = image_resize(media, AHASH_GRID, AHASH_GRID)
+    mean = F.expr("aggregate(grid, 0.0d, (a, x) -> a + x) / size(grid)")
+    bits = F.expr(
+        "aggregate(zip_with(grid, sequence(0, size(grid) - 1),"
+        " (v, i) -> IF(v > m, shiftleft(1L, i), 0L)),"
+        " 0L, (a, b) -> a + b)"
+    )
+    return (
+        g.withColumn("m", mean)
+        .withColumn(
+            "ahash", F.when(F.col("error").isNull(), bits).otherwise(F.lit(None))
+        )
+        .drop("grid", "m")
+    )

@@ -303,3 +303,42 @@ def media_to_spark(spark, media):
     from .schema import MEDIA_SCHEMA
 
     return spark.createDataFrame(media, schema=MEDIA_SCHEMA)
+
+
+def synth_image_corpus(n_base: int, seed: int = 7, variant_every: int = 4):
+    """Deterministic image-only fixture with PLANTED NEAR-DUPLICATES:
+    every ``variant_every``-th base image gets a companion row with a
+    mild brightness bump (+10 clamped) over a contiguous ~6% pixel run
+    — the re-encoded/re-crawled-asset case a perceptual hash must
+    catch (measured aHash hamming 0–3 across the planted pairs). One
+    truncated payload exercises per-row error isolation. Rows:
+    [(doc_id, media_ref, media_type, content)]."""
+    import struct as _struct
+
+    from .operators.multimodal import MAGIC_IMG, encode_fake_image
+
+    rows = []
+    for i in range(n_base):
+        rng = random.Random(seed * 9_000_011 + i)
+        doc_id = f"img-{i:08d}"
+        buf = encode_fake_image(
+            rng.randint(8, 48), rng.randint(8, 48), seed * 31 + i
+        )
+        rows.append((doc_id, f"ref://{doc_id}/m", "image", buf))
+        if i % variant_every == 0:
+            w, h = _struct.unpack("<II", buf[4:12])
+            px = bytearray(buf[12:])
+            run = max(1, (w * h) // 16)
+            j = rng.randrange(w * h - run)
+            for k in range(j, j + run):
+                px[k] = min(px[k] + 10, 255)
+            rows.append(
+                (
+                    f"{doc_id}-v",
+                    f"ref://{doc_id}-v/m",
+                    "image",
+                    MAGIC_IMG + buf[4:12] + bytes(px),
+                )
+            )
+    rows.append(("img-truncated", "ref://img-truncated/m", "image", b"FIMG\x05"))
+    return rows

@@ -96,3 +96,29 @@ def test_fake_codecs_roundtrip():
     assert encode_fake_image(10, 6, seed=3) == buf  # deterministic
     assert encode_fake_audio(8000, 5, seed=1) == encode_fake_audio(8000, 5, seed=1)
     assert encode_fake_video(2, 4, 4, seed=1) == encode_fake_video(2, 4, 4, seed=1)
+
+
+def test_q110_ahash_finds_exactly_the_planted_variants(spark):
+    """Every planted (base, variant) pair is detected within the
+    hamming budget, no unplanted pair sneaks in, and the truncated
+    payload is isolated into the error column (absent from pairs)."""
+    from german_ocr_spark.operators.multimodal import (
+        AHASH_HAM_MAX,
+        image_ahash,
+    )
+    from german_ocr_spark.queries import QUERIES
+    from german_ocr_spark.synth import media_to_spark, synth_image_corpus
+
+    rows = synth_image_corpus(90, seed=7)
+    planted = {
+        (r[0][:-2], r[0]) for r in rows if r[0].endswith("-v")
+    }
+    out = QUERIES["q110_media_ahash_pairs"](spark, "unused").toPandas()
+    got = {(a, b) for a, b in zip(out["doc_a"], out["doc_b"])}
+    assert got == planted
+    assert (out["hamming"] <= AHASH_HAM_MAX).all()
+    sigs = image_ahash(
+        media_to_spark(spark, rows)
+    ).toPandas()
+    bad = sigs[sigs["doc_id"] == "img-truncated"]
+    assert bad["error"].notna().all() and bad["ahash"].isna().all()

@@ -35,6 +35,8 @@ Q38_N_DOCS = 300
 Q38_SEED = 11
 Q30_N_MEDIA = 120
 Q30_SEED = 42
+Q110_N_IMAGES = 90
+Q110_SEED = 7
 GOLDEN_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "tests",
@@ -115,12 +117,67 @@ def q30_golden() -> pd.DataFrame:
     )
 
 
+def q110_golden() -> pd.DataFrame:
+    """Banded-aHash near-dup pairs over the planted image corpus via
+    the SAME resize kernel + the same signature/band/hamming math the
+    Spark query runs, all single-node numpy."""
+    import itertools
+
+    import numpy as np
+
+    from german_ocr_spark.operators.multimodal import (
+        AHASH_BAND_BITS,
+        AHASH_BANDS,
+        AHASH_GRID,
+        AHASH_HAM_MAX,
+        _resize_kernel,
+    )
+    from german_ocr_spark.synth import synth_image_corpus
+
+    media = pd.DataFrame(
+        synth_image_corpus(Q110_N_IMAGES, seed=Q110_SEED),
+        columns=["doc_id", "media_ref", "media_type", "content"],
+    )
+    out = next(_resize_kernel(AHASH_GRID, AHASH_GRID)(iter([media])))
+
+    def ahash(grid) -> int:
+        g = np.asarray(grid)
+        m = g.sum() / len(g)
+        return sum((1 << i) for i, v in enumerate(g) if v > m)
+
+    sig = {
+        r.doc_id: ahash(r.grid)
+        for r in out.itertuples()
+        if r.error is None
+    }
+    mask = (1 << AHASH_BAND_BITS) - 1
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for d, s in sig.items():
+        for b in range(AHASH_BANDS):
+            buckets.setdefault(
+                (b, (s >> (b * AHASH_BAND_BITS)) & mask), []
+            ).append(d)
+    cands = set()
+    for docs in buckets.values():
+        for a, b in itertools.combinations(sorted(docs), 2):
+            cands.add((a, b))
+    rows = [
+        {"doc_a": a, "doc_b": b, "hamming": bin(sig[a] ^ sig[b]).count("1")}
+        for a, b in sorted(cands)
+        if bin(sig[a] ^ sig[b]).count("1") <= AHASH_HAM_MAX
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+    pdf["hamming"] = pdf["hamming"].astype("int64")
+    return pdf
+
+
 def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name, pdf in (
         ("q32_spans.parquet", q32_golden()),
         ("q38_summary.parquet", q38_golden()),
         ("q30_summary.parquet", q30_golden()),
+        ("q110_pairs.parquet", q110_golden()),
     ):
         out = os.path.join(GOLDEN_DIR, name)
         pdf.to_parquet(out, index=False, compression="zstd")
