@@ -1421,3 +1421,29 @@ def test_q109_nfc_composes_planted_sequences(spark, tmp_path):
     assert got[2].n_composed == 0
     exp = hashlib.md5("Bär bäz".encode()).hexdigest()[:16]
     assert got[1].norm_hash == exp
+
+
+def test_q111_stitch_found_and_template_tail_capped(spark, tmp_path):
+    """A genuine (prev, next) page split is stitched with the overlap
+    counted once; a template tail shared by more than CONT_DF_CAP docs
+    is dropped by the stop-template guard, so its would-be continuation
+    never pairs."""
+    from german_ocr_spark.queries import CONT_DF_CAP, CONT_K
+
+    assert CONT_K == 3
+    rows = [
+        (1, "a b c x1 x2 x3", "de", "s"),
+        (2, "x1 x2 x3 d e f g", "de", "s"),
+    ]
+    # CONT_DF_CAP + 2 docs ending in the same template tail
+    for i in range(CONT_DF_CAP + 2):
+        rows.append((100 + i, f"p{i} q{i} r{i} z1 z2 z3", "de", "s"))
+    rows.append((300, "z1 z2 z3 w1 w2 w3 w4", "de", "s"))
+    sf = _write_docs(tmp_path, rows)
+    name = "q111_continuation_pairs"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    pairs = {(int(a), int(b)) for a, b in zip(sdf["prev_doc"], sdf["next_doc"])}
+    assert pairs == {(1, 2)}
+    row = sdf.iloc[0]
+    assert (row.prev_n, row.next_n, row.stitched_n) == (6, 7, 10)
