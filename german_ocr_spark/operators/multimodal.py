@@ -326,8 +326,11 @@ def image_ahash(media: DataFrame) -> DataFrame:
     mean grid in the Arrow kernel (``image_resize`` — the only Python
     stage), then the signature itself is assembled JVM-SIDE from the
     grid array (fold for the mean, zip_with for the bits), so adding a
-    signature costs no second Python pass. Failed decodes keep their
-    error columns and a NULL ahash."""
+    signature costs no second Python pass. ahash is NULL for failed
+    decodes AND for any grid containing NaN cells (images smaller than
+    the grid leave empty blocks NaN — `v > NaN` is false everywhere,
+    which would otherwise stamp every tiny thumbnail with the same
+    fake signature 0 and pair them all as hamming-0 near-dups)."""
     from pyspark.sql import functions as F
 
     g = image_resize(media, AHASH_GRID, AHASH_GRID)
@@ -337,10 +340,16 @@ def image_ahash(media: DataFrame) -> DataFrame:
         " (v, i) -> IF(v > m, shiftleft(1L, i), 0L)),"
         " 0L, (a, b) -> a + b)"
     )
+    # NaN cells cross the Arrow boundary as NULL list elements, so the
+    # guard must catch both spellings of "empty block"
+    grid_ok = F.expr("NOT exists(grid, x -> x IS NULL OR isnan(x))")
     return (
         g.withColumn("m", mean)
         .withColumn(
-            "ahash", F.when(F.col("error").isNull(), bits).otherwise(F.lit(None))
+            "ahash",
+            F.when(F.col("error").isNull() & grid_ok, bits).otherwise(
+                F.lit(None)
+            ),
         )
         .drop("grid", "m")
     )

@@ -7,6 +7,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -122,3 +123,25 @@ def test_q110_ahash_finds_exactly_the_planted_variants(spark):
     ).toPandas()
     bad = sigs[sigs["doc_id"] == "img-truncated"]
     assert bad["error"].notna().all() and bad["ahash"].isna().all()
+
+
+def test_ahash_null_for_images_smaller_than_grid(spark):
+    """An image smaller than the 8x8 grid leaves NaN cells; its ahash
+    must be NULL (not a shared fake signature 0 that would pair every
+    tiny thumbnail as a hamming-0 near-dup)."""
+    from german_ocr_spark.operators.multimodal import (
+        encode_fake_image,
+        image_ahash,
+    )
+    from german_ocr_spark.synth import media_to_spark
+
+    rows = [
+        ("tiny-a", "ref://tiny-a/m", "image", encode_fake_image(4, 4, seed=1)),
+        ("tiny-b", "ref://tiny-b/m", "image", encode_fake_image(4, 4, seed=2)),
+        ("big", "ref://big/m", "image", encode_fake_image(16, 16, seed=3)),
+    ]
+    out = image_ahash(media_to_spark(spark, rows)).toPandas()
+    by = {r.doc_id: r for r in out.itertuples()}
+    assert by["tiny-a"].error is None and pd.isna(by["tiny-a"].ahash)
+    assert pd.isna(by["tiny-b"].ahash)
+    assert not pd.isna(by["big"].ahash)

@@ -141,14 +141,22 @@ def q110_golden() -> pd.DataFrame:
     out = next(_resize_kernel(AHASH_GRID, AHASH_GRID)(iter([media])))
 
     def ahash(grid) -> int:
-        g = np.asarray(grid)
-        m = g.sum() / len(g)
+        g = [float(v) for v in grid]
+        # sequential left fold, NOT np.sum: numpy's pairwise summation
+        # is bit-different from Spark's aggregate() fold in the last
+        # ulp, and the v > m threshold must see the IDENTICAL mean
+        acc = 0.0
+        for v in g:
+            acc += v
+        m = acc / len(g)
         return sum((1 << i) for i, v in enumerate(g) if v > m)
 
     sig = {
         r.doc_id: ahash(r.grid)
         for r in out.itertuples()
-        if r.error is None
+        # same domain as image_ahash: decode errors and NaN grids
+        # (tiny thumbnails) carry NULL signatures
+        if r.error is None and not np.isnan(np.asarray(r.grid)).any()
     }
     mask = (1 << AHASH_BAND_BITS) - 1
     buckets: dict[tuple[int, int], list[str]] = {}
