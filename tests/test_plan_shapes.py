@@ -35,6 +35,7 @@ PINNED = {
     "q93_url_canonical": 0,
     "q94_sentence_segment": 0,
     "q96_decompound": 0,
+    "q109_nfc_normalize": 0,  # one Arrow stage, map-only
     # exactly one shuffle, by design
     "q17_exact_dedup": 1,  # the partial->final hash-agg fingerprint shuffle
     "q72_importance_sample": 1,
@@ -43,6 +44,10 @@ PINNED = {
     "q95_tokenizer_fertility": 1,  # the languages-sized hash agg
     "q97_host_curation": 1,  # the hosts-sized hash agg
     "q87_systematic_sample": 1,  # the lane window prefix sum
+    # two/three shuffles, by design (joins that legitimately flip
+    # broadcast<->shuffled with stats — q110/q111 — are NOT pinned)
+    "q107_dupspan_removal": 2,  # in-row-distinct df count + per-doc regroup
+    "q108_language_mix": 3,  # lang agg + 1-row totals agg chain
 }
 
 
