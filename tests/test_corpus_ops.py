@@ -1447,3 +1447,34 @@ def test_q111_stitch_found_and_template_tail_capped(spark, tmp_path):
     assert pairs == {(1, 2)}
     row = sdf.iloc[0]
     assert (row.prev_n, row.next_n, row.stitched_n) == (6, 7, 10)
+
+
+def test_q112_cluster_key_prevents_split_straddle(spark, tmp_path):
+    """Docs 1 and 4 are near-duplicates; hashed INDEPENDENTLY doc 1
+    lands in train and doc 4 in val (verified below), so a naive
+    per-doc split would leak the pair across the boundary. The cluster
+    representative ('1' = lexicographic min) must pull BOTH into
+    train, leaving val with zero clustered docs and the crossing-pair
+    audit at zero."""
+    import hashlib as _hl
+
+    from german_ocr_spark.queries import SPLIT_TEST_T, SPLIT_VAL_T
+
+    def h16(x):
+        return int(_hl.md5(("split:" + x).encode()).hexdigest()[:4], 16)
+
+    assert h16("1") >= SPLIT_TEST_T  # naive: train
+    assert h16("4") < SPLIT_VAL_T  # naive: val
+    shared = "gleicher inhalt wird geteilt zwischen seiten eins und zwei"
+    rows = [(1, shared, "de", "s"), (4, shared, "de", "s")]
+    for i in range(16):
+        rows.append((100 + i, f"einzig{i} text{i} ohne{i} paar{i}", "de", "s"))
+    sf = _write_docs(tmp_path, rows)
+    name = "q112_leakage_free_split"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    by = {r.split: r for r in sdf.itertuples()}
+    assert (sdf["crossing_pairs"] == 0).all()
+    assert int(sdf["n_docs"].sum()) == len(rows)
+    assert by["train"].n_clustered == 2
+    assert "val" not in by or by["val"].n_clustered == 0
