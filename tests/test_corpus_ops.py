@@ -1478,3 +1478,23 @@ def test_q112_cluster_key_prevents_split_straddle(spark, tmp_path):
     assert int(sdf["n_docs"].sum()) == len(rows)
     assert by["train"].n_clustered == 2
     assert "val" not in by or by["val"].n_clustered == 0
+
+
+def test_q113_double_extraction_planted_residues(spark, tmp_path):
+    """doc 12 plants the html/ocr duplicate (12%5==2), doc 10 the
+    pdf/text duplicate (10%7==3), doc 17 BOTH (17%5==2 and 17%7==3),
+    doc 11 neither; texts exceed 40 chars so the pdf prefix span never
+    accidentally equals a full span."""
+    long = "dies ist ein deutlich laengerer text der vierzig zeichen klar ueberschreitet"
+    sf = _write_docs(
+        tmp_path,
+        [(i, f"{long} nummer {i}", "de", "s") for i in (10, 11, 12, 17)],
+    )
+    name = "q113_double_extraction"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    got = {
+        (r.kind_a, r.kind_b): (int(r.n_pairs), int(r.n_docs))
+        for r in sdf.itertuples()
+    }
+    assert got == {("html", "ocr"): (2, 2), ("pdf", "text"): (2, 2)}
