@@ -1498,3 +1498,30 @@ def test_q113_double_extraction_planted_residues(spark, tmp_path):
         for r in sdf.itertuples()
     }
     assert got == {("html", "ocr"): (2, 2), ("pdf", "text"): (2, 2)}
+
+
+def test_q114_incremental_joins_new_against_index_only(spark, tmp_path):
+    """The daily batch (doc_id % 10 == 7) pairs against the standing
+    index, but index-internal near-dups are NEVER emitted — the
+    incremental property that makes the daily run cheap."""
+    dup1 = "der gemeinsame inhalt erscheint im neuen crawl und im index"
+    dup2 = "dieser index interne doppelte inhalt darf nie auftauchen hier"
+    sf = _write_docs(
+        tmp_path,
+        [
+            (7, dup1, "de", "s"),  # new batch
+            (21, dup1, "de", "s"),  # index twin of 7
+            (13, dup2, "de", "s"),  # index-internal dup pair...
+            (23, dup2, "de", "s"),  # ...must not be emitted
+            (17, "voellig anderer einzigartiger neuer text heute", "de", "s"),
+        ],
+    )
+    name = "q114_incremental_near_dup"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    pairs = {(a, b) for a, b in zip(sdf["new_doc"], sdf["index_doc"])}
+    assert ("7", "21") in pairs
+    assert all(n in ("7", "17") for n, _ in pairs)
+    assert not any({a, b} == {"13", "23"} for a, b in pairs)
+    ham = sdf.set_index(["new_doc", "index_doc"]).loc[("7", "21"), "hamming"]
+    assert int(ham) == 0
