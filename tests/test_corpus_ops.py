@@ -1525,3 +1525,47 @@ def test_q114_incremental_joins_new_against_index_only(spark, tmp_path):
     assert not any({a, b} == {"13", "23"} for a, b in pairs)
     ham = sdf.set_index(["new_doc", "index_doc"]).loc[("7", "21"), "hamming"]
     assert int(ham) == 0
+
+
+def test_q115_hard_negatives_exclude_same_label_and_other_bucket(spark, tmp_path):
+    """Anchor 0 (label 1): its closest vector shares the label (never a
+    negative), its cross-bucket twin is outside the ANN candidate set,
+    and the two same-bucket different-label vectors rank by cosine."""
+    import numpy as np
+    import pandas as pd
+
+    def vec(scale, first_dim=1.0, noise=0.0):
+        v = np.full(64, 1.0) * scale
+        v[0] = first_dim * scale
+        v[63] += noise
+        return [float(x) for x in v]
+
+    rows = [
+        (0, vec(1.0), 1),            # anchor, label 1
+        (10, vec(0.9), 1),           # cos 1.0 but SAME label -> excluded
+        (11, vec(1.0, noise=0.5), 2),  # near, diff label -> rank 1
+        (12, vec(1.0, noise=8.0), 2),  # farther, diff label -> rank 2
+        (13, vec(1.0, first_dim=-1.0), 2),  # different bucket -> excluded
+    ]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    pdf["vec_id"] = pdf["vec_id"].astype("int64")
+    pdf["label"] = pdf["label"].astype("int32")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(pdf["vec_id"], pa.int64()),
+            "embedding": pa.array(pdf["embedding"], pa.list_(pa.float32())),
+            "label": pa.array(pdf["label"], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+    name = "q115_hard_negatives"
+    sdf = QUERIES[name](spark, str(tmp_path)).toPandas()
+    assert compare(sdf, _oracle(str(tmp_path), name)) is None
+    mine = sdf[sdf["query_id"] == 0].sort_values("rn")
+    assert list(mine["neighbor_id"]) == [11, 12]
+    assert 10 not in set(sdf["neighbor_id"])
+    assert 13 not in set(sdf["neighbor_id"])
+    assert mine.iloc[0].cos_sim > mine.iloc[1].cos_sim
