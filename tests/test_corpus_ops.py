@@ -1569,3 +1569,19 @@ def test_q115_hard_negatives_exclude_same_label_and_other_bucket(spark, tmp_path
     assert 10 not in set(sdf["neighbor_id"])
     assert 13 not in set(sdf["neighbor_id"])
     assert mine.iloc[0].cos_sim > mine.iloc[1].cos_sim
+
+
+def test_q116_coverage_hand_computed_on_skewed_vocab(spark, tmp_path):
+    """Counts a:8 b:4 c:2 d:1 e:1 (total 16) give coverage 0.5 / 0.75
+    / 0.9375 at K = 1/2/4 and saturate at 1.0 with all 5 types."""
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d", "e"])
+    sf = _write_docs(tmp_path, [(1, text, "de", "s")])
+    name = "q116_vocab_coverage"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    by = {int(r.k): r for r in sdf.itertuples()}
+    assert by[1].coverage == pytest.approx(0.5, abs=2e-6)
+    assert by[2].coverage == pytest.approx(0.75, abs=2e-6)
+    assert by[4].coverage == pytest.approx(0.9375, abs=2e-6)
+    assert by[16].n_types == 5 and by[16].coverage == pytest.approx(1.0)
+    assert by[31].n_types == 5
