@@ -1585,3 +1585,33 @@ def test_q116_coverage_hand_computed_on_skewed_vocab(spark, tmp_path):
     assert by[4].coverage == pytest.approx(0.9375, abs=2e-6)
     assert by[16].n_types == 5 and by[16].coverage == pytest.approx(1.0)
     assert by[31].n_types == 5
+
+
+def test_q117_quantize_hand_computed(spark, tmp_path):
+    """Vector [0, .5, 1, 1]: codes 0/127/255/255 (floor, clamped), the
+    only reconstruction error is dim 2's 0.5 - 127/255; a constant
+    vector takes the guard branch (all codes 0, zero error)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array(
+                [[0.0, 0.5, 1.0, 1.0], [2.0, 2.0, 2.0]],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 0], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+    name = "q117_embedding_quantize"
+    sdf = QUERIES[name](spark, str(tmp_path)).toPandas()
+    assert compare(sdf, _oracle(str(tmp_path), name)) is None
+    by = {int(r.vec_id): r for r in sdf.itertuples()}
+    assert by[0].code_sum == 0 + 127 + 255 + 255
+    exp_err = 0.5 - 127 / 255
+    assert by[0].max_abs_err == pytest.approx(exp_err, abs=2e-6)
+    assert by[0].mean_abs_err == pytest.approx(exp_err / 4, abs=2e-6)
+    assert by[1].code_sum == 0
+    assert by[1].max_abs_err == 0.0 and by[1].mean_abs_err == 0.0
