@@ -1615,3 +1615,30 @@ def test_q117_quantize_hand_computed(spark, tmp_path):
     assert by[0].mean_abs_err == pytest.approx(exp_err / 4, abs=2e-6)
     assert by[1].code_sum == 0
     assert by[1].max_abs_err == 0.0 and by[1].mean_abs_err == 0.0
+
+
+def test_q117_null_element_matches_oracle(spark, tmp_path):
+    """A NULL embedding element must not poison the folds (the
+    review-r02 repro): its error is skipped like SQL SUM, the mean
+    still divides by the full dimension count, and both engines agree
+    — including on the code itself, which clamps to 255 because
+    least() SKIPS nulls identically in Spark and DuckDB."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0], pa.int64()),
+            "embedding": pa.array(
+                [[0.0, None, 1.0, 1.0]], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+    name = "q117_embedding_quantize"
+    sdf = QUERIES[name](spark, str(tmp_path)).toPandas()
+    assert compare(sdf, _oracle(str(tmp_path), name)) is None
+    r = sdf.iloc[0]
+    assert int(r.code_sum) == 0 + 255 + 255 + 255
+    assert r.max_abs_err == 0.0 and r.mean_abs_err == 0.0
