@@ -1642,3 +1642,32 @@ def test_q117_null_element_matches_oracle(spark, tmp_path):
     r = sdf.iloc[0]
     assert int(r.code_sum) == 0 + 255 + 255 + 255
     assert r.max_abs_err == 0.0 and r.mean_abs_err == 0.0
+
+
+def test_q118_checksum_validity_by_residue(spark, tmp_path):
+    """doc_ids 0..5: residue-3 docs (0, 3) carry the digit-rotated
+    IBAN and must fail mod-97; the other four validate. The Python
+    reference implementation agrees on every planted literal."""
+    from german_ocr_spark.queries import _IBANS
+
+    def mod97(iban):
+        acc = 0
+        for ch in iban[4:] + iban[:4]:
+            acc = (
+                (acc * 10 + ord(ch) - 48) % 97
+                if ch.isdigit()
+                else (acc * 100 + ord(ch) - 55) % 97
+            )
+        return acc
+
+    assert all(mod97(i) == 1 for i in _IBANS)
+    rot = str.maketrans("0123456789", "1234567890")
+    assert all(mod97(i[:21] + i[21:].translate(rot)) != 1 for i in _IBANS)
+    sf = _write_docs(
+        tmp_path, [(i, f"beleg {i}", "de", "s") for i in range(6)]
+    )
+    name = "q118_iban_checksum"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    r = sdf.iloc[0]
+    assert (r.n_docs, r.n_valid, r.n_invalid) == (6, 4, 2)
