@@ -1671,3 +1671,33 @@ def test_q118_checksum_validity_by_residue(spark, tmp_path):
     assert compare(sdf, _oracle(sf, name)) is None
     r = sdf.iloc[0]
     assert (r.n_docs, r.n_valid, r.n_invalid) == (6, 4, 2)
+
+
+def test_q119_clean_text_and_full_removal(spark, tmp_path):
+    """The 7-token shared run disappears from both carriers (hash of
+    exactly the surrounding tokens); a fully-duplicated doc cleans to
+    the empty string; a unique doc emits no row."""
+    shared7 = "s1 s2 s3 s4 s5 s6 s7"
+    full = "u1 u2 u3 u4 u5 u6"
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, f"a1 a2 a3 {shared7} a4 a5", "de", "s"),
+            (2, f"b1 b2 {shared7} b3", "de", "s"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8", "de", "s"),
+            (6, full, "de", "s"),
+            (7, full, "de", "s"),
+        ],
+    )
+    name = "q119_dupspan_clean"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    by = {int(r.doc_id): r for r in sdf.itertuples()}
+    assert 3 not in by
+    assert by[1].kept_tokens == 5
+    assert by[1].clean_hash == hashlib.md5(b"a1 a2 a3 a4 a5").hexdigest()[:16]
+    assert by[2].kept_tokens == 3
+    assert by[2].clean_hash == hashlib.md5(b"b1 b2 b3").hexdigest()[:16]
+    for d in (6, 7):
+        assert by[d].kept_tokens == 0
+        assert by[d].clean_hash == hashlib.md5(b"").hexdigest()[:16]
