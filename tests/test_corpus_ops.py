@@ -1701,3 +1701,132 @@ def test_q119_clean_text_and_full_removal(spark, tmp_path):
     for d in (6, 7):
         assert by[d].kept_tokens == 0
         assert by[d].clean_hash == hashlib.md5(b"").hexdigest()[:16]
+
+
+def test_q120_pq_codes_and_adc_ranking_hand_computed(spark, tmp_path):
+    """Codebook from constant seed vectors (seed k == k*10 in every
+    dim) makes every subspace centroid [10k]*8, so codes and ADC
+    distances are hand-computable: a constant-c vector takes code
+    argmin_k (c-10k)^2 in EVERY subspace, and a half-and-half vector
+    splits its codes 0000 1111. ADC(query const a, neighbor coded k)
+    = 64*(a-10k)^2 summed per the neighbor's per-subspace codes."""
+    from german_ocr_spark.queries import PQ_K, PQ_M, PQ_SUBDIM
+
+    dim = PQ_M * PQ_SUBDIM
+    rows = [(k, [10.0 * k] * dim, 0) for k in range(PQ_K)]
+    rows.append((4, [1.0] * dim, 1))
+    rows.append((5, [11.0] * dim, 1))
+    rows.append((6, [21.0] * dim, 1))
+    rows.append((7, [31.0] * dim, 1))
+    rows.append((8, [1.0] * 32 + [11.0] * 32, 1))
+    d = _write_embeddings(tmp_path, rows)
+    name = "q120_pq_adc_topk"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    packed = {
+        int(r.neighbor_id): int(r.code_packed) for r in sdf.itertuples()
+    }
+    assert packed[4] == 0
+    assert packed[5] == sum(4**m for m in range(8))  # 21845
+    assert packed[6] == 2 * 21845
+    assert packed[7] == 3 * 21845
+    assert packed[8] == sum(4**m for m in range(4, 8))  # 21760
+    q4 = sdf[sdf.query_id == 4].sort_values("rn")
+    assert list(q4.neighbor_id) == [8, 5, 6, 7]
+    assert list(q4.approx_d2) == [2624.0, 5184.0, 23104.0, 53824.0]
+
+
+def test_q121_pair_counts_weighted_by_word_frequency(spark, tmp_path):
+    """'ab' appears 3x so pair (a,b) counts 3; the (b,a)/(c,d) tie
+    breaks on lch; single-character words contribute no pairs; digits
+    and punctuation are delimiters."""
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "ab ab ba", "de", "s"),
+            (2, "ab cd7cd", "de", "s"),
+            (3, "x y z", "de", "s"),
+        ],
+    )
+    name = "q121_bpe_pair_merge"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    got = [tuple(r) for r in sdf[["lch", "rch", "pair_count"]].values]
+    assert got == [("a", "b", 3), ("c", "d", 2), ("b", "a", 1)]
+
+
+def test_q122_bm25_rational_scoring_hand_computed(spark, tmp_path):
+    """Three docs, scores replayed by a plain-Python replica of the
+    integer-rational BM25 (same floor-of-double-division per term).
+    The doc with two 'vector' hits outranks the single-hit docs; a
+    doc with none of the terms scores 0 but still ranks (tiebreak
+    doc_id) inside the top-k window."""
+    import math
+
+    from german_ocr_spark.queries import BM25_TERMS
+
+    texts = {
+        1: "vector join alpha beta",
+        2: "vector vector gamma",
+        3: "delta epsilon zeta eta",
+        4: "customer vector",
+    }
+    sf = _write_docs(
+        tmp_path, [(i, t, "de", "s") for i, t in texts.items()]
+    )
+    name = "q122_bm25_search"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+
+    toks = {i: t.split() for i, t in texts.items()}
+    T = sum(len(v) for v in toks.values())
+    N = len(toks)
+
+    def score(i):
+        s = 0
+        for t in BM25_TERMS:
+            tf = toks[i].count(t)
+            df = sum(1 for v in toks.values() if t in v)
+            dl = len(toks[i])
+            num = 22 * T * tf * (2 * N - 2 * df + 1)
+            den = (2 * df + 1) * (10 * T * tf + 3 * T + 9 * dl * N)
+            s += math.floor(num / den * 1000000.0)
+        return s
+
+    expect = sorted(
+        ((score(i), i) for i in toks), key=lambda p: (-p[0], p[1])
+    )
+    got = sdf.sort_values("rank")
+    assert list(got.doc_id) == [i for _, i in expect]
+    assert list(got.score_ppm) == [s for s, _ in expect]
+    # two DISTINCT terms in the shortest doc beat a repeated single
+    # term (tf saturation + length normalization — the BM25 point),
+    # and the no-hit doc scores exactly 0 at the bottom
+    assert int(got.iloc[0].doc_id) == 4
+    assert int(got.iloc[-1].doc_id) == 3
+    assert int(got.iloc[-1].score_ppm) == 0
+
+
+def test_q123_homoglyph_planting_and_mixed_flag(spark, tmp_path):
+    """doc 0 (residue 7) gets its confusables rewritten: 'papa tree
+    ox' keeps latin t/r but gains cyrillic р/а/е/о/х — mixed; doc 1
+    is untouched pure latin. Counts are exact: 7 of the 9 letters in
+    doc 0 are confusables."""
+    sf = _write_docs(
+        tmp_path,
+        [(0, "papa tree ox", "de", "sA"), (1, "plain text", "de", "sA")],
+    )
+    name = "q123_script_mix_audit"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    r = sdf.iloc[0]
+    # doc0 letters: p a p a t r e e o x -> cyr: p,a,p,a,e,e,o,x = 8
+    assert (r.n_docs, r.n_mixed, r.cyr_chars) == (2, 1, 8)
+    n_lat_total = 2 + 9  # doc0 keeps t,r; doc1 has 9 letters
+    assert r.cyr_ppm == math_floor_ppm(8, 8 + n_lat_total)
+
+
+def math_floor_ppm(a, b):
+    import math
+
+    return math.floor(a * 1000000.0 / b)

@@ -48,6 +48,10 @@ PINNED = {
     # broadcast<->shuffled with stats — q110/q111 — are NOT pinned)
     "q107_dupspan_removal": 2,  # in-row-distinct df count + per-doc regroup
     "q108_language_mix": 3,  # lang agg + 1-row totals agg chain
+    "q120_pq_adc_topk": 1,  # per-query ADC ranking window (queries broadcast)
+    "q121_bpe_pair_merge": 2,  # corpus wordcount + vocab-sized pair agg
+    "q122_bm25_search": 1,  # the single-row stats agg (top-k is TakeOrdered)
+    "q123_script_mix_audit": 1,  # sources-sized hash agg
 }
 
 
