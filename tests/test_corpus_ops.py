@@ -1830,3 +1830,42 @@ def math_floor_ppm(a, b):
     import math
 
     return math.floor(a * 1000000.0 / b)
+
+
+def test_q124_ivfpq_probe_restriction_and_adc_ranking(spark, tmp_path):
+    """IVF centroids c=[100c]*64 and PQ seeds 0..3 (=[0/100/200/300])
+    make the composition hand-checkable: query 16 (const 99) probes
+    cells {1,0,2,3}, every corpus vector is a candidate, and ADC
+    collapses to 64*(99 - 100*code)^2 — so the two code-1 neighbors
+    tie at 64 and break on neighbor_id."""
+    from german_ocr_spark.queries import IVF_N_CELLS
+
+    dim = 64
+    rows = [(c, [100.0 * c] * dim, 0) for c in range(IVF_N_CELLS)]
+    vals = {16: 99.0, 17: 101.0, 18: 199.0, 19: 201.0, 20: 301.0,
+            21: 98.0}
+    rows += [(i, [v] * dim, 1) for i, v in vals.items()]
+    d = _write_embeddings(tmp_path, rows)
+    name = "q124_ivfpq_search"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    q16 = sdf[sdf.query_id == 16].sort_values("rn")
+    assert list(q16.neighbor_id) == [17, 21, 18, 19, 20]
+    assert list(q16.approx_d2) == [64.0, 64.0, 652864.0, 652864.0,
+                                   2585664.0]
+
+
+def test_q125_amstad_hand_computed(spark, tmp_path):
+    """doc 0 (one repeat of the middle sentence): protection leaves 3
+    real terminators; 15 words; 17 vowel runs; FRE_de*1000 =
+    180000 - 1000*15/3 - 58500*17/15 = 108700 exactly. The
+    abbreviation dots (Dr./z. B./Nr./ca./bzw.) must NOT count as
+    sentence ends — without protection s would be 8, not 3."""
+    sf = _write_docs(tmp_path, [(0, "unused", "de", "s")])
+    name = "q125_flesch_readability"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    r = sdf.iloc[0]
+    assert (r.n_sentences, r.n_words, r.n_syllables) == (3, 15, 17)
+    assert r.flesch_e3 == 108700
+    assert r.band == "leicht"

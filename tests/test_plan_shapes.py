@@ -52,6 +52,8 @@ PINNED = {
     "q121_bpe_pair_merge": 2,  # corpus wordcount + vocab-sized pair agg
     "q122_bm25_search": 1,  # the single-row stats agg (top-k is TakeOrdered)
     "q123_script_mix_audit": 1,  # sources-sized hash agg
+    "q124_ivfpq_search": 1,  # per-query ADC window (probes broadcast)
+    "q125_flesch_readability": 0,  # map-only codegen pass
 }
 
 
