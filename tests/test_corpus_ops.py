@@ -1869,3 +1869,31 @@ def test_q125_amstad_hand_computed(spark, tmp_path):
     assert (r.n_sentences, r.n_words, r.n_syllables) == (3, 15, 17)
     assert r.flesch_e3 == 108700
     assert r.band == "leicht"
+
+
+def test_q126_transition_counts_and_exact_ppm(spark, tmp_path):
+    """User 1: view->view->click->view (transitions vv, vc, cv);
+    user 2: view->buy. From 'view': vv 1, vc 1, vb 1 -> 333333 ppm
+    each (floor). Cross-user pairs must NOT count: the last event of
+    user 1 has no successor."""
+    rows = [
+        (1, "2026-01-01 10:00:00", 1, "view", 0.0),
+        (2, "2026-01-01 10:01:00", 1, "view", 0.0),
+        (3, "2026-01-01 10:02:00", 1, "click", 0.0),
+        (4, "2026-01-01 10:03:00", 1, "view", 0.0),
+        (5, "2026-01-01 11:00:00", 2, "view", 0.0),
+        (6, "2026-01-01 11:05:00", 2, "buy", 0.0),
+    ]
+    d = _write_events(tmp_path, rows)
+    name = "q126_event_transitions"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = {
+        (r.from_type, r.to_type): (int(r.n_transitions), int(r.p_ppm))
+        for r in sdf.itertuples()
+    }
+    assert by[("view", "view")] == (1, 333333)
+    assert by[("view", "click")] == (1, 333333)
+    assert by[("view", "buy")] == (1, 333333)
+    assert by[("click", "view")] == (1, 1000000)
+    assert len(by) == 4  # no buy-> row, no cross-user pair
