@@ -1897,3 +1897,51 @@ def test_q126_transition_counts_and_exact_ppm(spark, tmp_path):
     assert by[("view", "buy")] == (1, 333333)
     assert by[("click", "view")] == (1, 1000000)
     assert len(by) == 4  # no buy-> row, no cross-user pair
+
+
+def test_q127_all_three_formats_and_umlaut_month(spark, tmp_path):
+    """doc 0 numeric '01.01.2020'; doc 1 written Januar; doc 2 ISO
+    passthrough; doc 7 exercises the umlaut month ('8. März 2022');
+    doc 34 the last month arm ('7. Dezember 2024'). Every iso value
+    is the same date the construction encoded."""
+    sf = _write_docs(
+        tmp_path, [(i, "x", "de", "s") for i in (0, 1, 2, 7, 34)]
+    )
+    name = "q127_date_normalize"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    by = {int(r.doc_id): r for r in sdf.itertuples()}
+    assert (by[0].raw, by[0].fmt, by[0].iso) == (
+        "01.01.2020", "de_numeric", "2020-01-01")
+    assert (by[1].raw, by[1].fmt, by[1].iso) == (
+        "2. Januar 2021", "de_written", "2021-01-02")
+    assert (by[2].raw, by[2].fmt, by[2].iso) == (
+        "2022-01-03", "iso", "2022-01-03")
+    assert (by[7].raw, by[7].fmt, by[7].iso) == (
+        "8. März 2022", "de_written", "2022-03-08")
+    assert (by[34].raw, by[34].fmt, by[34].iso) == (
+        "7. Dezember 2024", "de_written", "2024-12-07")
+
+
+def test_q128_full_recall_on_small_candidate_set(spark, tmp_path):
+    """With only 4 candidates and k=5 both the exact-L2 and ADC top-k
+    contain the whole candidate set, so recall is exactly 1000000 for
+    every query — even though ADC and exact ORDER differ for the
+    half-and-half vector (ADC quantizes it toward the code-1
+    centroid). The oracle compare proves the per-query counts."""
+    from german_ocr_spark.queries import PQ_K, PQ_M, PQ_SUBDIM
+
+    dim = PQ_M * PQ_SUBDIM
+    rows = [(k, [10.0 * k] * dim, 0) for k in range(PQ_K)]
+    rows.append((4, [1.0] * dim, 1))
+    rows.append((5, [11.0] * dim, 1))
+    rows.append((6, [21.0] * dim, 1))
+    rows.append((7, [31.0] * dim, 1))
+    rows.append((8, [1.0] * 32 + [11.0] * 32, 1))
+    d = _write_embeddings(tmp_path, rows)
+    name = "q128_pq_recall_audit"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    assert len(sdf) == 5
+    assert (sdf["n_matched"] == 4).all()
+    assert (sdf["recall_ppm"] == 1000000).all()

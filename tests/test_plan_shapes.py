@@ -54,6 +54,7 @@ PINNED = {
     "q123_script_mix_audit": 1,  # sources-sized hash agg
     "q124_ivfpq_search": 1,  # per-query ADC window (probes broadcast)
     "q125_flesch_readability": 0,  # map-only codegen pass
+    "q127_date_normalize": 0,  # map-only codegen pass
     "q126_event_transitions": 3,  # user window + types^2 agg + totals window
 }
 
