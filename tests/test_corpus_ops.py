@@ -1945,3 +1945,54 @@ def test_q128_full_recall_on_small_candidate_set(spark, tmp_path):
     assert len(sdf) == 5
     assert (sdf["n_matched"] == 4).all()
     assert (sdf["recall_ppm"] == 1000000).all()
+
+
+def test_q129_trained_costs_hand_computed(spark, tmp_path):
+    """Corpus 'aaaa'+'abab'+'ba'+'xy' has bigram counts aa:3 ab:2 ba:2
+    xy:1 (t=8); ranks break count ties on the bigram string, ppm is the
+    exact floor, and cost_bits = floor(log2(t div n)) computed via
+    bin() length: 8//3=2 -> 1 bit, 8//2=4 -> 2, 8//1=8 -> 3."""
+    sf = _write_docs(
+        tmp_path,
+        [(0, "aaaa", "de", "s"), (1, "abab", "de", "s"),
+         (2, "ba", "de", "s"), (3, "xy", "de", "s")],
+    )
+    name = "q129_lm_train_bigrams"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    rows = [
+        (r.rank, r.bigram, r.n, r.ppm, r.cost_bits)
+        for r in sdf.sort_values("rank").itertuples()
+    ]
+    assert rows == [
+        (1, "aa", 3, 375000, 1),
+        (2, "ab", 2, 250000, 2),
+        (3, "ba", 2, 250000, 2),
+        (4, "xy", 1, 125000, 3),
+    ]
+
+
+def test_q130_dsir_weights_and_selection_hand_computed(spark, tmp_path):
+    """'der' and 'the' hash to distinct buckets (212 vs 196). Target
+    slice (de) holds 2 of the 6 tokens, all 'der': weight(der) =
+    2e6//2 - 3e6//6 = +500000, weight(the) = -500000. doc0 (der der)
+    scores +500000 -> selected; doc1 (the the) scores -500000 ->
+    dropped; doc2 (der the) scores exactly 0 -> selected at the >= 0
+    threshold."""
+    import hashlib as _h
+
+    b = lambda t: int(_h.md5(t.encode()).hexdigest()[:4], 16) % 256
+    assert b("der") != b("the")
+    sf = _write_docs(
+        tmp_path,
+        [(0, "der der", "de", "s0"), (1, "the the", "en", "s0"),
+         (2, "der the", "en", "s1")],
+    )
+    name = "q130_dsir_selection"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    by = {r.source: r for r in sdf.itertuples()}
+    assert (by["s0"].n_docs, by["s0"].n_selected, by["s0"].sel_tokens) == (
+        2, 1, 2)
+    assert (by["s1"].n_docs, by["s1"].n_selected, by["s1"].sel_tokens) == (
+        1, 1, 2)
