@@ -1996,3 +1996,43 @@ def test_q130_dsir_weights_and_selection_hand_computed(spark, tmp_path):
         2, 1, 2)
     assert (by["s1"].n_docs, by["s1"].n_selected, by["s1"].sel_tokens) == (
         1, 1, 2)
+
+
+def test_q131_alpha_half_mix_hand_computed(spark, tmp_path):
+    """Token masses 9/4/1 across three languages give isqrt weights
+    3/2/1 (tw=6): mix shares are the exact ppm floors 500000/333333/
+    166666 and the 1M-token budget allocates the same floors."""
+    sf = _write_docs(
+        tmp_path,
+        [(0, "a b c d e", "de", "s"), (1, "f g h i", "de", "s"),
+         (2, "j k l m", "en", "s"), (3, "n", "fr", "s")],
+    )
+    name = "q131_temperature_mix"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    by = {r.lang: r for r in sdf.itertuples()}
+    assert (by["de"].n_tokens, by["de"].wgt, by["de"].mix_ppm,
+            by["de"].alloc_tokens) == (9, 3, 500000, 500000)
+    assert (by["en"].wgt, by["en"].mix_ppm) == (2, 333333)
+    assert (by["fr"].wgt, by["fr"].mix_ppm) == (1, 166666)
+
+
+def test_q132_deciles_share_buckets_on_ties(spark, tmp_path):
+    """10 docs at three distinct LM costs: 'the' = (3+3)*1000/2 = 3000,
+    'key' = (5+6)*1000/2 = 5500, 'zz' = 12000 (default cost). Bucket =
+    10 * strictly-cheaper-count div 10: the four 3000-docs all land in
+    bucket 0, the four 5500-docs in bucket 4, the two 12000-docs in
+    bucket 8 — ties NEVER split across buckets."""
+    rows = [(i, "the", "en", "s") for i in range(4)]
+    rows += [(i + 4, "key", "en", "s") for i in range(4)]
+    rows += [(8, "zz", "de", "s"), (9, "zz", "de", "s")]
+    sf = _write_docs(tmp_path, rows)
+    name = "q132_curriculum_deciles"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    by = {int(r.bucket): r for r in sdf.itertuples()}
+    assert sorted(by) == [0, 4, 8]
+    assert (by[0].n_docs, by[0].min_cost_e3, by[0].max_cost_e3) == (
+        4, 3000, 3000)
+    assert (by[4].n_docs, by[4].min_cost_e3) == (4, 5500)
+    assert (by[8].n_docs, by[8].min_cost_e3) == (2, 12000)
