@@ -2036,3 +2036,90 @@ def test_q132_deciles_share_buckets_on_ties(spark, tmp_path):
         4, 3000, 3000)
     assert (by[4].n_docs, by[4].min_cost_e3) == (4, 5500)
     assert (by[8].n_docs, by[8].min_cost_e3) == (2, 12000)
+
+
+def _cdc_chunks(text, w=3, bits=4):
+    """Plain-Python replica of q133's boundary rule + chunk hashes."""
+    toks = text.strip().split()
+    n = len(toks)
+    cuts = [0]
+    for i in range(w, n):  # 1-based cut positions w..n-1
+        win = " ".join(toks[i - w:i])
+        if int(hashlib.md5(win.encode()).hexdigest()[:12], 16) % (1 << bits) == 0:
+            cuts.append(i)
+    cuts.append(n)
+    out = []
+    for a, b in zip(cuts, cuts[1:]):
+        seg = " ".join(toks[a:b])
+        out.append(
+            (int(hashlib.md5(seg.encode()).hexdigest()[:12], 16), b - a)
+        )
+    return out
+
+
+def test_q133_exact_dup_doc_duplicates_every_chunk(spark, tmp_path):
+    """Two identical docs share ALL chunks; a disjoint-vocabulary doc
+    shares none. Expected counts come from a plain-Python replica of
+    the boundary rule."""
+    t = " ".join(f"w{i % 37}x{(i * 7) % 11}" for i in range(120))
+    u = " ".join(f"q{i % 29}y{(i * 5) % 13}" for i in range(80))
+    ct, cu = _cdc_chunks(t), _cdc_chunks(u)
+    assert len(ct) >= 3  # the fixture must actually contain boundaries
+    assert len(set(h for h, _ in ct)) == len(ct)  # chunks distinct
+    assert not set(h for h, _ in ct) & set(h for h, _ in cu)
+    sf = _write_docs(
+        tmp_path, [(0, t, "de", "s"), (1, t, "de", "s"), (2, u, "de", "s")]
+    )
+    name = "q133_cdc_chunk_dedup"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    r = sdf.iloc[0]
+    assert r.n_chunks == 2 * len(ct) + len(cu)
+    assert r.n_distinct == len(ct) + len(cu)
+    assert r.dup_chunks == len(ct)
+    assert r.dup_tokens == 120
+
+
+def test_q133_insertion_shifts_at_most_local_chunks(spark, tmp_path):
+    """The CDC property: prepending one token to a document re-keys
+    only the chunks before the first post-edit boundary — later chunks
+    are byte-identical and dedup against the original (fixed-width
+    passages would re-key everything)."""
+    t = " ".join(f"w{i % 37}x{(i * 7) % 11}" for i in range(120))
+    t2 = "zzz " + t
+    shared = set(h for h, _ in _cdc_chunks(t)) & set(
+        h for h, _ in _cdc_chunks(t2)
+    )
+    assert shared  # the property under test, pinned by the replica
+    sf = _write_docs(tmp_path, [(0, t, "de", "s"), (1, t2, "de", "s")])
+    name = "q133_cdc_chunk_dedup"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    assert sdf.iloc[0].dup_chunks == len(shared)
+
+
+def test_q134_moments_hand_computed(spark, tmp_path):
+    """3 vectors of dim 2: dim0 = (1, 2, 3) and dim1 = (-1, -1, 4);
+    expected mean/variance (including the negative-mean floor) come
+    from the exact float replica below — same expression tree as the
+    query, so equality is exact, not approximate."""
+    rows = [
+        (0, [1.0, -1.0], 0),
+        (1, [2.0, -1.0], 0),
+        (2, [3.0, 4.0], 0),
+    ]
+    sf = _write_embeddings(tmp_path, rows)
+    name = "q134_embedding_dim_stats"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    import math
+
+    by = {int(r.dim): r for r in sdf.itertuples()}
+    for dim, vals in ((0, [1.0, 2.0, 3.0]), (1, [-1.0, -1.0, 4.0])):
+        n = len(vals)
+        sx, sx2 = sum(vals), sum(v * v for v in vals)
+        mean = math.floor(sx / n * 1e6) / 1e6
+        var = math.floor((sx2 - sx * sx / n) / n * 1e6) / 1e6
+        assert by[dim].n == n
+        assert by[dim].mean_e6 == pytest.approx(mean, abs=0)
+        assert by[dim].var_e6 == pytest.approx(var, abs=0)
