@@ -2123,3 +2123,76 @@ def test_q134_moments_hand_computed(spark, tmp_path):
         assert by[dim].n == n
         assert by[dim].mean_e6 == pytest.approx(mean, abs=0)
         assert by[dim].var_e6 == pytest.approx(var, abs=0)
+
+
+def _semdedup_fixture(tmp_path):
+    """16 centroids (0..15) spread so only cells 0 ([1,0]) and 1
+    ([0,1]) attract the corpus; corpus vectors planted to hit every
+    verdict branch: an identical same-cell pair (drop), and a
+    high-cosine pair SPLIT across the cell boundary (both keep — the
+    method's documented blind spot vs q34's random-projection LSH)."""
+    rows = [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 0)]
+    rows += [(i, [100.0 + 10.0 * i, -100.0 - 10.0 * i], 0) for i in range(2, 16)]
+    rows += [
+        (16, [2.0, 0.1], 1),  # cell 0
+        (17, [2.0, 0.1], 1),  # identical twin of 16, same cell -> drop
+        (18, [0.1, 2.0], 1),  # cell 1
+        (19, [0.1, 2.0], 1),  # identical twin of 18, same cell -> drop
+        (20, [121.0, -121.0], 1),  # cell 2 } collinear (cos = 1) but
+        (21, [129.0, -129.0], 1),  # cell 3 } split across two cells
+    ]
+    return _write_embeddings(tmp_path, rows)
+
+
+def test_q135_semdedup_same_cell_twin_dropped(spark, tmp_path):
+    sf = _semdedup_fixture(tmp_path)
+    name = "q135_semdedup"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    by = {int(r.vec_id): r for r in sdf.itertuples()}
+    assert by[16].verdict == "keep" and by[16].n_close == 0
+    assert by[17].verdict == "drop" and by[17].n_close == 1
+    assert by[17].best_cos == pytest.approx(1.0, abs=1e-6)
+    assert by[18].verdict == "keep"
+    assert by[19].verdict == "drop"
+    assert by[17].cell == by[16].cell and by[19].cell == by[18].cell
+
+
+def test_q135_cell_boundary_pair_not_compared(spark, tmp_path):
+    """20/21 have cosine well above SEMDEDUP_TAU but land in different
+    cells, so SemDeDup keeps both — the cell-bounded pair space never
+    sees the pair (the cost bound IS the blind spot)."""
+    sf = _semdedup_fixture(tmp_path)
+    sdf = QUERIES["q135_semdedup"](spark, sf).toPandas()
+    by = {int(r.vec_id): r for r in sdf.itertuples()}
+    assert by[20].cell != by[21].cell
+    assert by[20].verdict == "keep" and by[21].verdict == "keep"
+
+
+def test_q136_standardize_hand_computed(spark, tmp_path):
+    """dim0 = (1, 2, 3): mean 2, pop var 2/3 -> z = +-1/sqrt(2/3), 0;
+    dim1 constant -> dead dimension, every z forced to 0 on both
+    engines. Expected values from the exact float replica (same
+    expression tree as the query)."""
+    import math
+
+    rows = [
+        (0, [1.0, 5.0], 0),
+        (1, [2.0, 5.0], 0),
+        (2, [3.0, 5.0], 0),
+    ]
+    sf = _write_embeddings(tmp_path, rows)
+    name = "q136_embedding_standardize"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    by = {int(r.dim): r for r in sdf.itertuples()}
+    std0 = math.sqrt((14.0 - 36.0 / 3.0) / 3.0)
+    zmax = math.floor((3.0 - 2.0) / std0 * 1e6) / 1e6
+    zmin = math.floor((1.0 - 2.0) / std0 * 1e6) / 1e6
+    assert by[0].zmax_e6 == pytest.approx(zmax, abs=0)
+    assert by[0].zmin_e6 == pytest.approx(zmin, abs=0)
+    assert by[0].mean_z_e6 in (0.0, -1e-6)  # floor of an exact-0 sum
+    assert by[0].var_z_e6 == pytest.approx(1.0, abs=2e-6)
+    # dead dimension: all z exactly 0
+    assert by[1].zmin_e6 == 0.0 and by[1].zmax_e6 == 0.0
+    assert by[1].mean_z_e6 == 0.0 and by[1].var_z_e6 == 0.0
