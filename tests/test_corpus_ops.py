@@ -2196,3 +2196,29 @@ def test_q136_standardize_hand_computed(spark, tmp_path):
     # dead dimension: all z exactly 0
     assert by[1].zmin_e6 == 0.0 and by[1].zmax_e6 == 0.0
     assert by[1].mean_z_e6 == 0.0 and by[1].var_z_e6 == 0.0
+
+
+def test_q137_rrf_fusion_semantics(spark, tmp_path):
+    """Planted candidates: docs 0-3 contain BM25 terms (0 strongest),
+    doc 4 matches nothing and must never appear. rrf_score must equal
+    the exact integer fusion of the two ranks the query reports."""
+    rows = [
+        (0, "vector join customer vector join", "en", "s0"),
+        (1, "vector join filler words here", "en", "s0"),
+        (2, "customer filler words here too", "en", "s1"),
+        (3, "vector filler filler filler filler", "en", "s1"),
+        (4, "nothing relevant in this text", "en", "s2"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    name = "q137_rrf_hybrid"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    assert 4 not in set(sdf.doc_id)
+    assert set(sdf.doc_id) == {0, 1, 2, 3}
+    for r in sdf.itertuples():
+        assert r.rrf_score == 10**9 // (60 + r.bm25_rank) + 10**9 // (
+            60 + r.quality_rank
+        )
+    # ranks are permutations of 1..4 on both axes
+    assert sorted(sdf.bm25_rank) == [1, 2, 3, 4]
+    assert sorted(sdf.quality_rank) == [1, 2, 3, 4]
