@@ -2222,3 +2222,30 @@ def test_q137_rrf_fusion_semantics(spark, tmp_path):
     # ranks are permutations of 1..4 on both axes
     assert sorted(sdf.bm25_rank) == [1, 2, 3, 4]
     assert sorted(sdf.quality_rank) == [1, 2, 3, 4]
+
+
+def test_q138_c4_rules_hand_checked(spark, tmp_path):
+    """Every rule branch on planted docs: doc 12 gets all three junk
+    lines (js wall via %3, cookie+nav via %4) and must shed exactly
+    them; doc 7's single 4-word line dies on the min-words rule so the
+    whole doc drops; doc 1 is pure content and keeps everything."""
+    w24 = " ".join(f"w{i}" for i in range(24))  # 3 full 8-word lines
+    rows = [
+        (1, w24, "en", "s0"),
+        (7, "just four words here", "en", "s0"),
+        (12, w24, "en", "s1"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    name = "q138_c4_line_filter"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    by = {int(r.doc_id): r for r in sdf.itertuples()}
+    assert by[1].n_lines_wire == 3 and by[1].n_lines_kept == 3
+    assert by[1].verdict == "keep"
+    # doc 12: 3 content + 3 junk in the wire; all junk removed
+    assert by[12].n_lines_wire == 6 and by[12].n_lines_kept == 3
+    assert by[12].verdict == "keep"
+    assert by[12].clean_hash == by[1].clean_hash  # identical cleaned text
+    # doc 7: its only line has 4 words -> rule 2 kills it -> doc drops
+    assert by[7].n_lines_wire == 1 and by[7].n_lines_kept == 0
+    assert by[7].verdict == "drop" and by[7].n_chars_clean == 0

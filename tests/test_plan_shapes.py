@@ -55,6 +55,7 @@ PINNED = {
     "q124_ivfpq_search": 1,  # per-query ADC window (probes broadcast)
     "q125_flesch_readability": 0,  # map-only codegen pass
     "q127_date_normalize": 0,  # map-only codegen pass
+    "q138_c4_line_filter": 0,  # in-row construct/filter/reassemble
     "q126_event_transitions": 3,  # user window + types^2 agg + totals window
     "q136_embedding_standardize": 2,  # dims-sized stats agg + audit agg
     # (the standardizing join itself is an explicit broadcast: 0)
