@@ -2249,3 +2249,26 @@ def test_q138_c4_rules_hand_checked(spark, tmp_path):
     # doc 7: its only line has 4 words -> rule 2 kills it -> doc drops
     assert by[7].n_lines_wire == 1 and by[7].n_lines_kept == 0
     assert by[7].verdict == "drop" and by[7].n_chars_clean == 0
+
+
+def test_q139_bpe_greedy_merge_cascade(spark, tmp_path):
+    """'aaaa' x2 + 'bb' x1: iteration 1 learns (a,a) with count 6 and
+    the greedy left-to-right fold respells 'a a a a' as [aa, aa] (the
+    odd-run rule: no overlap); iteration 2 learns (aa, aa) — a merge of
+    MERGED symbols; iteration 3 is left with (b, b). Every number
+    below is hand-derived."""
+    rows = [(0, "aaaa aaaa bb", "en", "s0")]
+    sf = _write_docs(tmp_path, rows)
+    name = "q139_bpe_train"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    got = sorted(
+        (int(r.iteration), r.merge_l, r.merge_r, int(r.pair_count),
+         int(r.syms_e3))
+        for r in sdf.itertuples()
+    )
+    assert got == [
+        (1, "a", "a", 6, 2000),
+        (2, "aa", "aa", 2, 1333),
+        (3, "b", "b", 1, 1000),
+    ]
