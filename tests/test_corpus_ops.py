@@ -2272,3 +2272,52 @@ def test_q139_bpe_greedy_merge_cascade(spark, tmp_path):
         (2, "aa", "aa", 2, 1333),
         (3, "b", "b", 1, 1000),
     ]
+
+
+def test_q140_kanon_suppression(spark, tmp_path):
+    """s0: 6 en docs (published) + 2 de docs (suppressed into
+    __redacted__); s1: 1 fr doc (suppressed). Totals must reconcile."""
+    rows = []
+    i = 0
+    for lang, src, n in (("en", "s0", 6), ("de", "s0", 2), ("fr", "s1", 1)):
+        for _ in range(n):
+            rows.append((i, f"text {i}", lang, src))
+            i += 1
+    sf = _write_docs(tmp_path, rows)
+    name = "q140_kanon_report"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    by = {(r.source, r.lang): r for r in sdf.itertuples()}
+    assert by[("s0", "en")].n_docs == 6 and by[("s0", "en")].n_cells == 1
+    assert by[("s0", "__redacted__")].n_docs == 2
+    assert by[("s1", "__redacted__")].n_docs == 1
+    assert ("s0", "de") not in by and ("s1", "fr") not in by
+    assert int(sdf.n_docs.sum()) == 9  # mass conserved
+
+
+def _vat_check(d8: str) -> int:
+    p = 10
+    for ch in d8:
+        s = (int(ch) + p) % 10
+        if s == 0:
+            s = 10
+        p = (2 * s) % 11
+    c = 11 - p
+    return 0 if c == 10 else c
+
+
+def test_q141_vat_checksum_replica(spark, tmp_path):
+    """The fold must equal the published MOD 11,10 algorithm (replica
+    verified against the canonical DE136695976 example) on every
+    planted ID, and flag exactly the doc_id % 3 == 0 corruptions."""
+    assert _vat_check("13669597") == 6  # DE136695976
+    rows = [(i, f"text {i}", "de", "s0") for i in (0, 1, 2, 3, 5, 6, 97)]
+    sf = _write_docs(tmp_path, rows)
+    name = "q141_vat_checksum"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    for r in sdf.itertuples():
+        d8 = r.vat_id[2:10]
+        assert int(r.expected_check) == _vat_check(d8)
+        assert bool(r.is_valid) == (int(r.doc_id) % 3 != 0)
+        assert int(r.check_digit) == int(r.vat_id[10])

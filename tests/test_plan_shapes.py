@@ -48,6 +48,7 @@ PINNED = {
     # broadcast<->shuffled with stats — q110/q111 — are NOT pinned)
     "q107_dupspan_removal": 2,  # in-row-distinct df count + per-doc regroup
     "q108_language_mix": 3,  # lang agg + 1-row totals agg chain
+    "q140_kanon_report": 2,  # cell agg + suppression re-agg (both dim-sized)
     "q120_pq_adc_topk": 1,  # per-query ADC ranking window (queries broadcast)
     "q121_bpe_pair_merge": 2,  # corpus wordcount + vocab-sized pair agg
     "q122_bm25_search": 1,  # the single-row stats agg (top-k is TakeOrdered)
@@ -56,6 +57,7 @@ PINNED = {
     "q125_flesch_readability": 0,  # map-only codegen pass
     "q127_date_normalize": 0,  # map-only codegen pass
     "q138_c4_line_filter": 0,  # in-row construct/filter/reassemble
+    "q141_vat_checksum": 0,  # map-only integer fold
     "q126_event_transitions": 3,  # user window + types^2 agg + totals window
     "q136_embedding_standardize": 2,  # dims-sized stats agg + audit agg
     # (the standardizing join itself is an explicit broadcast: 0)
