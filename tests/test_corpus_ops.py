@@ -2321,3 +2321,118 @@ def test_q141_vat_checksum_replica(spark, tmp_path):
         assert int(r.expected_check) == _vat_check(d8)
         assert bool(r.is_valid) == (int(r.doc_id) % 3 != 0)
         assert int(r.check_digit) == int(r.vat_id[10])
+
+
+def test_q142_shared_run_lengths_hand_derived(spark, tmp_path):
+    """doc 0 (w0..w29) gets an automatic planted re-crawl (id 200000)
+    copying its first 20 tokens: 13 consecutive shared 8-gram windows
+    -> longest run exactly 20. doc 2 embeds w5..w20 (16 tokens) mid-
+    document: 9 windows on one diagonal -> run exactly RUN_MIN_TOKENS,
+    included. doc 2 vs the re-crawl shares only w5..w19 (15 tokens,
+    run < min) and must be filtered. doc 1 shares nothing."""
+    w = [f"w{i}" for i in range(30)]
+    x = [f"x{i}" for i in range(30)]
+    doc2 = [f"y{i}" for i in range(10)] + w[5:21] + [f"z{i}" for i in range(6)]
+    rows = [
+        (0, " ".join(w), "en", "s0"),
+        (1, " ".join(x), "en", "s0"),
+        (2, " ".join(doc2), "en", "s1"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    name = "q142_shared_span_detect"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    got = {
+        (int(r.doc_a), int(r.doc_b)): (
+            int(r.longest_run_tokens),
+            int(r.n_gram_matches),
+        )
+        for r in sdf.itertuples()
+    }
+    assert got[(0, 200000)] == (20, 13)
+    assert got[(0, 2)] == (16, 9)
+    assert (2, 200000) not in got  # 15-token overlap is below the floor
+    assert not any(1 in p for p in got)
+
+
+def test_q143_truncation_recall_identical_prefix(spark, tmp_path):
+    """Vectors whose information lives ENTIRELY in the first
+    TRUNC_DIMS dims rank identically under truncation -> recall is
+    exactly 1000000 for every query. 16 centroid ids are padded out of
+    the corpus domain; queries are 16..20."""
+    import math
+
+    dim = 64
+    rows = []
+    for i in range(16):
+        rows.append((i, [1000.0 + i] * dim, 0))
+    # corpus: distinct directions in the FIRST 2 dims, zeros after
+    for k in range(16, 28):
+        v = [0.0] * dim
+        ang = (k - 16) / 12.0
+        v[0] = math.cos(ang)
+        v[1] = math.sin(ang)
+        rows.append((k, v, 1))
+    sf = _write_embeddings(tmp_path, rows)
+    name = "q143_truncation_recall"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    assert set(sdf.query_id) == {16, 17, 18, 19, 20}
+    assert (sdf.recall_ppm == 1000000).all()
+    assert (sdf.n_matched == 5).all()
+
+
+def test_q144_markov_eval_deterministic_stream(spark, tmp_path):
+    """Train user 0 emits a,b,a,b,... so the model maps a->b and b->a;
+    eval user 1 follows the same pattern except ONE deviation, eval
+    user 3 inverts it entirely. Accuracy per state is hand-countable."""
+    rows = []
+    eid = 0
+
+    def emit(uid, seq):
+        nonlocal eid
+        for t, et in enumerate(seq):
+            rows.append((eid, t + 1, uid, et, 1.0, "{}"))
+            eid += 1
+
+    emit(0, ["a", "b", "a", "b", "a", "b"])  # train: a->b x3, b->a x2
+    emit(1, ["a", "b", "a", "c"])  # eval: a->b ok, b->a ok, a->c wrong
+    emit(3, ["b", "b", "b"])  # eval: b->b wrong x2
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value", "props"]
+    )
+    for c in ("event_id", "ts", "user_id"):
+        pdf[c] = pdf[c].astype("int64")
+    pdf.to_parquet(f"{tmp_path}/events.parquet", index=False)
+    sf = str(tmp_path)
+    name = "q144_markov_eval"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    by = {r.from_type: r for r in sdf.itertuples()}
+    # eval transitions from 'a': a->b (correct), a->c (wrong)
+    assert by["a"].n_eval == 2 and by["a"].n_correct == 1
+    assert by["a"].acc_ppm == 500000
+    # eval transitions from 'b': b->a (correct), b->b x2 (wrong)
+    assert by["b"].n_eval == 3 and by["b"].n_correct == 1
+    assert by["b"].acc_ppm == 333333
+
+
+def test_q145_blocklist_semantics(spark, tmp_path):
+    """Hosts derive from source: planted sources src3/src18 must come
+    back blocked (proving www-strip + lowercase hit the list), others
+    kept; counts per host are exact."""
+    rows = [
+        (0, "t", "en", "src3"),
+        (1, "t", "en", "src3"),
+        (2, "t", "en", "src18"),
+        (3, "t", "en", "src1"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    name = "q145_blocklist_filter"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    by = {r.host: r for r in sdf.itertuples()}
+    assert by["src3.de"].verdict == "blocked" and by["src3.de"].n_docs == 2
+    assert by["src18.de"].verdict == "blocked"
+    assert by["src1.de"].verdict == "kept"
