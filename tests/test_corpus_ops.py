@@ -2436,3 +2436,60 @@ def test_q145_blocklist_semantics(spark, tmp_path):
     assert by["src3.de"].verdict == "blocked" and by["src3.de"].n_docs == 2
     assert by["src18.de"].verdict == "blocked"
     assert by["src1.de"].verdict == "kept"
+
+
+def test_q146_hub_vector_dominates(spark, tmp_path):
+    """One cell: a central hub vector plus 4 satellites arranged so
+    each satellite's nearest neighbor is the hub (satellites are
+    near-orthogonal to each other, all correlated with the hub) ->
+    the hub's in-degree is 4, each satellite's is 0 except the one
+    the hub itself picks (in-degree 1)."""
+    dim = 8
+    rows = [(0, [1.0] * dim, 0)]  # centroid 0 at the corpus's center
+    for i in range(1, 16):  # far-away unused centroids
+        rows.append((i, [1000.0 + i] + [0.0] * (dim - 1), 0))
+    hub = [1.0] * dim
+    rows.append((16, hub, 1))
+    for k in range(4):  # satellite: hub + strong spike on dim k
+        v = [1.0] * dim
+        v[k] = 6.0
+        rows.append((17 + k, v, 1))
+    sf = _write_embeddings(tmp_path, rows)
+    name = "q146_knn_hubness"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    hist = {int(r.in_degree): int(r.n_vectors) for r in sdf.itertuples()}
+    assert hist[4] == 1  # the hub
+    assert hist[1] == 1  # the satellite the hub picked
+    assert hist[0] == 3  # the remaining satellites
+    assert sum(hist.values()) == 5
+
+
+def test_q147_centroid_matrix_hand_computed(spark, tmp_path):
+    """Two labels with known centroids: label 1 = {(2,0),(0,2)} ->
+    centroid (1,1); label 2 = {(3,3)} -> centroid (3,3); cosine
+    exactly 1. Label 3 = {(5,0)} is orthogonal to nothing: cos with
+    (1,1) = 1/sqrt(2), with (3,3) = 1/sqrt(2) — floored e6."""
+    import math
+
+    dim = 2
+    rows = [(i, [100.0 + i, -50.0 - i], 0) for i in range(16)]
+    rows += [
+        (16, [2.0, 0.0], 1),
+        (17, [0.0, 2.0], 1),
+        (18, [3.0, 3.0], 2),
+        (19, [5.0, 0.0], 3),
+    ]
+    sf = _write_embeddings(tmp_path, rows)
+    name = "q147_label_centroid_matrix"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    by = {(int(r.label_a), int(r.label_b)): r.cos_e6 for r in sdf.itertuples()}
+    inv_sqrt2 = math.floor(1.0 / math.sqrt(2.0) * 1e6) / 1e6
+    assert by[(1, 2)] == pytest.approx(
+        math.floor((3.0 + 3.0) / (math.sqrt(2) * math.sqrt(18)) * 1e6) / 1e6,
+        abs=0,
+    )
+    assert by[(1, 2)] in (1.0, 0.999999)  # cos((1,1),(3,3)) == 1, floor-safe
+    assert by[(1, 3)] == pytest.approx(inv_sqrt2, abs=0)
+    assert by[(2, 3)] == pytest.approx(inv_sqrt2, abs=0)
