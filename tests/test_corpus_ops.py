@@ -2493,3 +2493,26 @@ def test_q147_centroid_matrix_hand_computed(spark, tmp_path):
     assert by[(1, 2)] in (1.0, 0.999999)  # cos((1,1),(3,3)) == 1, floor-safe
     assert by[(1, 3)] == pytest.approx(inv_sqrt2, abs=0)
     assert by[(2, 3)] == pytest.approx(inv_sqrt2, abs=0)
+
+
+def test_q148_exact_dup_caught_by_both_detectors(spark, tmp_path):
+    """An exact duplicate pair has identical shingle sets (every
+    MinHash band collides) AND identical simhash (hamming 0), so it
+    must be in the intersection; the Jaccard is bounded by the set
+    algebra."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"alt{i}" for i in range(40))
+    rows = [
+        (0, base, "en", "s0"),
+        (1, base, "en", "s0"),  # exact dup of 0
+        (2, other, "en", "s1"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    name = "q148_detector_agreement"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    r = sdf.iloc[0]
+    assert r.n_both >= 1
+    assert r.n_both <= min(r.n_minhash, r.n_simhash)
+    union = r.n_minhash + r.n_simhash - r.n_both
+    assert r.jaccard_ppm == r.n_both * 1000000 // union
