@@ -2516,3 +2516,26 @@ def test_q148_exact_dup_caught_by_both_detectors(spark, tmp_path):
     assert r.n_both <= min(r.n_minhash, r.n_simhash)
     union = r.n_minhash + r.n_simhash - r.n_both
     assert r.jaccard_ppm == r.n_both * 1000000 // union
+
+
+def test_q149_kappa_hand_computed(spark, tmp_path):
+    """Confusion counts and kappa re-derived in plain Python from the
+    query's own per-doc verdict rules (q56 classifier / q92 LM) on a
+    small corpus; also pins the degenerate-marginal convention by
+    checking the cross-multiplied formula directly."""
+    rows = [(i, f"some tokens here doc {i} variant {i % 7}", "en", "s0")
+            for i in range(12)]
+    sf = _write_docs(tmp_path, rows)
+    name = "q149_filter_kappa"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    r = sdf.iloc[0]
+    kk, kd, dk, dd = (int(r.n_keep_keep), int(r.n_keep_drop),
+                      int(r.n_drop_keep), int(r.n_drop_drop))
+    n = kk + kd + dk + dd
+    assert n == 12
+    assert int(r.agree_ppm) == (kk + dd) * 10**6 // n
+    pe_num = (kk + kd) * (kk + dk) + (dk + dd) * (kd + dd)
+    den = n * n - pe_num
+    expect = 10**6 if den == 0 else (n * (kk + dd) - pe_num) * 10**6 // den
+    assert int(r.kappa_ppm) == expect

@@ -50,6 +50,7 @@ PINNED = {
     "q108_language_mix": 3,  # lang agg + 1-row totals agg chain
     "q140_kanon_report": 2,  # cell agg + suppression re-agg (both dim-sized)
     "q145_blocklist_filter": 1,  # hosts-sized agg; blocklist is an isin literal
+    "q149_filter_kappa": 1,  # two in-row verdicts, ONE single-row confusion agg
     "q120_pq_adc_topk": 1,  # per-query ADC ranking window (queries broadcast)
     "q121_bpe_pair_merge": 2,  # corpus wordcount + vocab-sized pair agg
     "q122_bm25_search": 1,  # the single-row stats agg (top-k is TakeOrdered)
