@@ -63,6 +63,11 @@ PINNED = {
     "q126_event_transitions": 3,  # user window + types^2 agg + totals window
     "q136_embedding_standardize": 2,  # dims-sized stats agg + audit agg
     # (the standardizing join itself is an explicit broadcast: 0)
+    "q150_spearman_length_quality": 5,  # 2 histogram aggs + 2 histogram
+    # windows + 1 per-lang sums agg (rank joins are explicit broadcasts)
+    "q151_length_auc": 3,  # 1 histogram agg + its window + per-lang agg
+    "q152_event_acf": 4,  # hourly agg + bounds agg + grid row_number
+    # window + per-lag sums agg (lag self-join is an explicit broadcast)
 }
 
 
