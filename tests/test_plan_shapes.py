@@ -68,6 +68,11 @@ PINNED = {
     "q151_length_auc": 3,  # 1 histogram agg + its window + per-lang agg
     "q152_event_acf": 4,  # hourly agg + bounds agg + grid row_number
     # window + per-lag sums agg (lag self-join is an explicit broadcast)
+    "q153_benford_audit": 4,  # digit agg + 1-row total agg + output sort
+    # (everything after the first agg is 9-row relations)
+    "q154_length_gini": 2,  # histogram agg + lang window; final lang agg
+    # reuses the window's hash partitioning — no third exchange
+    "q155_trailing_24h": 1,  # the single user_id RANGE-frame window
 }
 
 
