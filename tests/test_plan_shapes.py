@@ -73,6 +73,12 @@ PINNED = {
     "q154_length_gini": 2,  # histogram agg + lang window; final lang agg
     # reuses the window's hash partitioning — no third exchange
     "q155_trailing_24h": 1,  # the single user_id RANGE-frame window
+    "q156_assoc_rules": 4,  # ONE corpus collect_set shuffle; item/pair/
+    # total aggs run on user- or types-sized relations (joins broadcast)
+    "q157_scd2_intervals": 1,  # lag + island sum + collapse + lead all
+    # reuse the single user_id partitioning
+    "q158_curation_waterfall": 3,  # fingerprint keeper agg + its join-back
+    # + the single-row waterfall agg (stage dim is a broadcast)
 }
 
 
