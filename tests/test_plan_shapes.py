@@ -79,6 +79,12 @@ PINNED = {
     # reuse the single user_id partitioning
     "q158_curation_waterfall": 3,  # fingerprint keeper agg + its join-back
     # + the single-row waterfall agg (stage dim is a broadcast)
+    "q159_grouping_sets": 1,  # one Expand feeding ONE hash agg — the
+    # four grains share a single scan and shuffle
+    "q160_percentile_rank": 2,  # histogram agg + its lang window; the
+    # rank map joins back as an explicit broadcast
+    # (q161 is a multi-join pipeline whose join strategies legitimately
+    # flip with stats — not pinned, audited in PLANS.md)
 }
 
 
