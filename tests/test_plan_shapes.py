@@ -85,6 +85,10 @@ PINNED = {
     # rank map joins back as an explicit broadcast
     # (q161 is a multi-join pipeline whose join strategies legitimately
     # flip with stats — not pinned, audited in PLANS.md)
+    "q163_random_projection": 0,  # pure in-row integer folds + posexplode
+    "q164_charmass_percentiles": 2,  # histogram agg + its lang window;
+    # the quartile pick joins a broadcast 3-row dim
+    # (q162's band join legitimately flips broadcast<->SMJ — not pinned)
 }
 
 
