@@ -89,6 +89,11 @@ PINNED = {
     "q164_charmass_percentiles": 2,  # histogram agg + its lang window;
     # the quartile pick joins a broadcast 3-row dim
     # (q162's band join legitimately flips broadcast<->SMJ — not pinned)
+    "q165_user_snapshot": 2,  # the user hash agg; count(distinct date)
+    # adds the standard two-phase expand — still user-keyed
+    "q166_zipf_audit": 1,  # token agg; global top-30 is TakeOrdered
+    # (a heap, not a sort — asserted below)
+    "q167_cross_lang_leak": 2,  # fp agg + the count(distinct lang) expand
 }
 
 
@@ -107,3 +112,16 @@ def test_pinned_shuffle_counts(spark):
         for name in PINNED
     }
     assert got == PINNED
+
+
+def test_global_topk_is_heap_not_sort(spark):
+    # q166's global top-30 must compile to TakeOrderedAndProject (a
+    # per-partition heap + driver merge), never a full Sort of the
+    # token-frequency relation.
+    plan = (
+        QUERIES["q166_zipf_audit"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
