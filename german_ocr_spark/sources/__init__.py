@@ -5,3 +5,9 @@ from .files import (  # noqa: F401
     route_mime,
     write_bucketed,
 )
+from .jsonl import (  # noqa: F401
+    DOCUMENTS_JSONL_SCHEMA,
+    read_jsonl,
+    split_corrupt,
+    write_jsonl_sharded,
+)

@@ -2539,3 +2539,86 @@ def test_q149_kappa_hand_computed(spark, tmp_path):
     den = n * n - pe_num
     expect = 10**6 if den == 0 else (n * (kk + dd) - pe_num) * 10**6 // den
     assert int(r.kappa_ppm) == expect
+
+
+def test_q168_frontier_hand_constructed(spark, tmp_path):
+    """Skyline semantics on planted points: same-x domination, distinct
+    frontier corners, a dominated interior point, a second language
+    whose lone doc is trivially on its own frontier, and a duplicated
+    frontier point carrying n_docs=2. n_chars is set EXPLICITLY
+    (decoupled from len(text)) so both axes are controlled."""
+    rows = [
+        (0, _words("a", 10), "en", "s0", 100),   # dominated by doc 1 (same x, more tokens)
+        (1, _words("b", 12), "en", "s0", 100),   # frontier (100, 12)
+        (2, _words("c", 5), "en", "s0", 200),    # frontier (200, 5)
+        (3, _words("d", 20), "en", "s0", 50),    # frontier (50, 20)
+        (4, _words("e", 6), "en", "s0", 60),     # dominated by doc 1
+        (5, _words("f", 12), "en", "s0", 100),   # duplicate of doc 1's point
+        (6, _words("g", 3), "de", "s1", 30),     # lone de doc: frontier
+    ]
+    sf = _write_docs(tmp_path, rows)
+    name = "q168_pareto_frontier"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    got = {
+        (r.lang, int(r.n_chars), int(r.n_tokens)): int(r.n_docs)
+        for r in sdf.itertuples()
+    }
+    assert got == {
+        ("en", 200, 5): 1,
+        ("en", 100, 12): 2,
+        ("en", 50, 20): 1,
+        ("de", 30, 3): 1,
+    }
+
+
+def test_q169_triangle_hand_constructed(spark, tmp_path):
+    """One planted triangle src1-src2-src3 plus a pendant src4 and a
+    self-loop-only src5 (must vanish entirely); a duplicate doc for one
+    edge proves edge-set semantics (distinct, not weighted). Edge rule:
+    source -> 'src'||(doc_id*3+1)%20, so doc_id ≡ 7 (mod 20) emits dst
+    src2, ≡ 14 emits src3, ≡ 1 emits src4, ≡ 8 emits src5."""
+    rows = [
+        (7, "x", "en", "src1"),    # src1 - src2
+        (27, "x", "en", "src1"),   # duplicate src1 - src2 edge
+        (34, "x", "en", "src1"),   # src1 - src3
+        (14, "x", "en", "src2"),   # src2 - src3  -> closes the triangle
+        (1, "x", "en", "src1"),    # src1 - src4 (pendant)
+        (8, "x", "en", "src5"),    # src5 self-loop: excluded
+    ]
+    sf = _write_docs(tmp_path, rows)
+    name = "q169_host_triangles"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    got = {r.node: (int(r.deg), int(r.n_tri)) for r in sdf.itertuples()}
+    assert got == {
+        "src1": (3, 1),
+        "src2": (2, 1),
+        "src3": (2, 1),
+        "src4": (1, 0),
+    }
+
+
+def test_q171_ks_hand_computed(spark, tmp_path):
+    """Exact KS on a 5-doc planted corpus, re-derived by hand:
+    s0 lengths [1,1,2], s1 lengths [2,3]; global cum (2,4,5) over grid
+    (1,2,3). s0: sup|cum_s*n_g - cum_g*n_s| = |2*5-2*3| = 4 at x=1 ->
+    floor(4e6/15) = 266666 ppm; s1: |0*5-2*2| = 4 at x=1 (a value s1
+    never takes — the grid cross join is what makes that step exist)
+    -> floor(4e6/10) = 400000 ppm."""
+    rows = [
+        (0, "a", "de", "s0", 1),
+        (1, "b", "de", "s0", 1),
+        (2, "c", "de", "s0", 2),
+        (3, "d", "de", "s1", 2),
+        (4, "e", "de", "s1", 3),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    name = "q171_ks_drift"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    got = {
+        r.source: (int(r.n_docs), int(r.ks_ppm), int(r.ks_at))
+        for r in sdf.itertuples()
+    }
+    assert got == {"s0": (3, 266666, 1), "s1": (2, 400000, 1)}

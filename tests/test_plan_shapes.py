@@ -94,6 +94,13 @@ PINNED = {
     "q166_zipf_audit": 1,  # token agg; global top-30 is TakeOrdered
     # (a heap, not a sort — asserted below)
     "q167_cross_lang_leak": 2,  # fp agg + the count(distinct lang) expand
+    "q168_pareto_frontier": 2,  # histogram agg + the per-lang running-max
+    # window over histogram rows — the corpus is never sorted
+    # (q169's edge-relation joins legitimately flip broadcast<->SMJ with
+    # stats — not pinned; the checkpointed-once edge staging is audited
+    # in PLANS.md)
+    "q170_session_window": 1,  # ONE user_id shuffle into the native
+    # merging session-window agg — no window-function pass, no self-join
 }
 
 
