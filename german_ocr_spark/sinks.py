@@ -42,6 +42,32 @@ def markdown_blocks(extracted: DataFrame) -> DataFrame:
     )
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Hive-style partitioned write with DYNAMIC overwrite: only the
+    partitions present in ``df`` are replaced; every other partition
+    under ``path`` survives untouched. This is the idempotent-refresh
+    primitive a 100 TB corpus layout needs — re-running one language's
+    (or one day's) curation job must not truncate the other 10^3
+    partitions, which is exactly what the default STATIC overwrite
+    would do. Spark resolves this per-write via
+    ``partitionOverwriteMode=dynamic`` (set here on the writer, not
+    globally, so callers who WANT truncate-all semantics still get the
+    default). Downstream scans prune on the partition columns
+    (PartitionFilters, not data filters)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .format(fmt)
+        .save(path)
+    )
+
+
 def write_sink(df: DataFrame, path: str, fmt: str = "parquet",
                mode: str = "overwrite") -> None:
     """A14: file sinks. parquet for tables, json for the reference's

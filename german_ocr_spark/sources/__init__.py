@@ -11,3 +11,4 @@ from .jsonl import (  # noqa: F401
     split_corrupt,
     write_jsonl_sharded,
 )
+from .csvfile import read_csv_quarantined  # noqa: F401

@@ -2622,3 +2622,27 @@ def test_q171_ks_hand_computed(spark, tmp_path):
         for r in sdf.itertuples()
     }
     assert got == {"s0": (3, 266666, 1), "s1": (2, 400000, 1)}
+
+
+def test_q172_pps_semantics(spark, tmp_path):
+    """PPS systematic invariants on a planted stratum: (a) a doc
+    heavier than the step is ALWAYS selected (certainty unit), (b)
+    zero-weight docs never are, (c) ticket count per source is at most
+    PPS_K + 1 and at least 1 for a non-empty stratum, (d) oracle
+    parity."""
+    from german_ocr_spark.queries import PPS_K
+
+    rows = [(0, "h", "de", "s0", 900)]  # certainty unit: 900 of 1000
+    rows += [(i, "t", "de", "s0", 10) for i in range(1, 11)]  # 100 mass
+    rows += [(20, "z", "de", "s0", 0)]  # zero weight
+    rows += [(30, "x", "de", "s1", 5)]  # tiny stratum: step clamps to 1
+    sf = _write_docs(tmp_path, rows)
+    name = "q172_pps_sample"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    sel = {(r.source, r.doc_id) for r in sdf.itertuples()}
+    assert ("s0", 0) in sel          # heavy doc certain
+    assert ("s0", 20) not in sel     # zero weight impossible
+    assert ("s1", 30) in sel         # tiny stratum still sampled
+    per_src = sdf.groupby("source").size().to_dict()
+    assert 1 <= per_src["s0"] <= PPS_K + 1

@@ -82,3 +82,38 @@ def test_sharded_export_parallel_layout(spark, tmp_path):
     )
     assert bad.count() == 0
     assert sorted(r["doc_id"] for r in back.collect()) == list(range(25))
+
+
+def test_csv_quarantine_classes(spark, tmp_path):
+    """CSV twin of the JSONL quarantine contract: over-arity,
+    type-drift, and under-arity lines ALL set the corrupt column
+    (payload may be partially populated — quarantine is the signal,
+    not the nulls); header and blank lines are dropped."""
+    from pyspark.sql import types as T
+
+    from german_ocr_spark.sources import read_csv_quarantined
+
+    p = tmp_path / "csv"
+    p.mkdir()
+    (p / "a.csv").write_text(
+        "doc_id,text,lang\n"
+        "1,hello,de\n"
+        "2,too,many,fields,here\n"
+        "x,bad-type,fr\n"
+        "3,short\n"
+        "\n"
+    )
+    sch = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    df = read_csv_quarantined(spark, str(p), sch, header=True)
+    good, bad = split_corrupt(df)
+    assert [(r.doc_id, r.text, r.lang) for r in good.collect()] == [
+        (1, "hello", "de")
+    ]
+    raws = sorted(r["raw_line"] for r in bad.collect())
+    assert raws == ["2,too,many,fields,here", "3,short", "x,bad-type,fr"]

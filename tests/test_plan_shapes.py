@@ -101,6 +101,8 @@ PINNED = {
     # in PLANS.md)
     "q170_session_window": 1,  # ONE user_id shuffle into the native
     # merging session-window agg — no window-function pass, no self-join
+    "q172_pps_sample": 1,  # one source shuffle shared by both windows;
+    # the ticket filter is in-row
 }
 
 

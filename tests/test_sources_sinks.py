@@ -94,3 +94,46 @@ def test_read_span_table_iceberg_branch(spark, tmp_path):
 
     spark.sql("CREATE TABLE IF NOT EXISTS local.db.spans_t (doc_id string)")
     assert read_span_table(spark, "iceberg:local.db.spans_t") is not None
+
+
+def test_write_partitioned_dynamic_overwrite(spark, tmp_path):
+    """Dynamic partition overwrite: rewriting ONE lang partition leaves
+    the others byte-identical (the idempotent-refresh contract), and a
+    lang-filtered read prunes to that partition's files."""
+    from german_ocr_spark.sinks import write_partitioned
+
+    out = str(tmp_path / "corpus")
+    base = spark.createDataFrame(
+        [(1, "alt de", "de"), (2, "old en", "en"), (3, "old fr", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    write_partitioned(base, out, ["lang"])
+
+    refresh = spark.createDataFrame(
+        [(1, "neu de", "de"), (9, "neu de 2", "de")],
+        "doc_id long, text string, lang string",
+    )
+    write_partitioned(refresh, out, ["lang"])
+
+    got = {
+        (r.doc_id, r.text, r.lang)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (1, "neu de", "de"),
+        (9, "neu de 2", "de"),
+        (2, "old en", "en"),   # untouched by the de refresh
+        (3, "old fr", "fr"),
+    }
+
+    # partition pruning: a lang= filter appears as a PartitionFilter,
+    # never a data filter over all files
+    plan = (
+        spark.read.parquet(out)
+        .filter(F.col("lang") == "en")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+    assert "lang" in plan.split("PartitionFilters:")[1].split("]")[0]
