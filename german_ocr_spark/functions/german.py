@@ -222,3 +222,136 @@ def normalize_sql(expr: str) -> str:
             f"{duck_lit(_duck_repl(r.repl))}, 'g')"
         )
     return f"trim({out})"
+
+
+# ---------------------------------------------------------------------------
+# Kölner Phonetik (Postel 1969) — the German-language phonetic code
+# (the Soundex analog tuned to German orthography). Used for phonetic
+# BLOCKING: OCR-variant spellings (Fraktur confusions, umlaut
+# transcription drift) usually collapse onto one code, so grouping a
+# vocabulary by code yields candidate variant clusters without any
+# pairwise comparison. One rule table generates BOTH dialects'
+# expressions (Spark SQL and DuckDB), so engine drift is impossible.
+#
+# Encoding: per character, context-sensitive digit (prev/next aware);
+# then collapse consecutive duplicates and drop '0' everywhere except
+# the leading position. 'h' carries no code; 'x' emits two digits.
+
+
+def _koelner_char_case(t: str, i: str) -> str:
+    """The per-character CASE, shared verbatim by both dialects
+    (everything inside is ANSI): c = char at i, prv/nxt = neighbors
+    ('' at the edges — spelled explicitly because Spark's substring
+    treats position 0 as 1 while DuckDB yields '')."""
+    c = f"substring({t}, {i}, 1)"
+    prv = f"(CASE WHEN {i} = 1 THEN '' ELSE substring({t}, {i} - 1, 1) END)"
+    nxt = f"substring({t}, {i} + 1, 1)"
+    return f"""CASE
+ WHEN {c} IN ('a','e','i','j','o','u','y','ä','ö','ü') THEN '0'
+ WHEN {c} = 'h' THEN ''
+ WHEN {c} = 'b' THEN '1'
+ WHEN {c} = 'p' THEN (CASE WHEN {nxt} = 'h' THEN '3' ELSE '1' END)
+ WHEN {c} IN ('d','t') THEN (CASE WHEN {nxt} IN ('c','s','z') THEN '8' ELSE '2' END)
+ WHEN {c} IN ('f','v','w') THEN '3'
+ WHEN {c} IN ('g','k','q') THEN '4'
+ WHEN {c} = 'c' THEN (CASE
+    WHEN {prv} IN ('s','z') THEN '8'
+    WHEN {i} = 1 AND {nxt} IN ('a','h','k','l','o','q','r','u','x') THEN '4'
+    WHEN {i} > 1 AND {nxt} IN ('a','h','k','o','q','u','x') THEN '4'
+    ELSE '8' END)
+ WHEN {c} = 'x' THEN (CASE WHEN {prv} IN ('c','k','q') THEN '8' ELSE '48' END)
+ WHEN {c} = 'l' THEN '5'
+ WHEN {c} IN ('m','n') THEN '6'
+ WHEN {c} = 'r' THEN '7'
+ WHEN {c} IN ('s','z','ß') THEN '8'
+ ELSE ''
+END"""
+
+
+def koelner_raw_sql(expr: str, dialect: str) -> str:
+    """Raw digit string (pre-collapse) of a LOWERCASE token."""
+    case = _koelner_char_case(expr, "i")
+    if dialect == "spark":
+        # sequence(1, 0) would yield a DESCENDING [1, 0] — guard empties
+        return (
+            f"CASE WHEN length({expr}) = 0 THEN '' ELSE "
+            f"array_join(transform(sequence(1, length({expr})),"
+            f" i -> {case}), '') END"
+        )
+    return (
+        f"array_to_string(list_transform(range(1, length({expr}) + 1),"
+        f" i -> {case}), '')"
+    )
+
+
+def koelner_finish_sql(expr: str, dialect: str) -> str:
+    """Collapse consecutive duplicates + strip non-leading '0' from a
+    raw digit string. Single combined pass: keep digit i iff it
+    differs from digit i-1 AND (is not '0' OR i = 1) — provably equal
+    to dedup-then-strip because stripping only removes '0's and never
+    creates new adjacencies the dedup step would have removed."""
+    keep = (
+        f"CASE WHEN i > 1 AND (substring({expr}, i, 1) ="
+        f" substring({expr}, i - 1, 1) OR substring({expr}, i, 1) = '0')"
+        f" THEN '' ELSE substring({expr}, i, 1) END"
+    )
+    if dialect == "spark":
+        return (
+            f"CASE WHEN length({expr}) = 0 THEN '' ELSE "
+            f"array_join(transform(sequence(1, length({expr})),"
+            f" i -> {keep}), '') END"
+        )
+    return (
+        f"array_to_string(list_transform(range(1, length({expr}) + 1),"
+        f" i -> {keep}), '')"
+    )
+
+
+def koelner_phonetik_py(token: str) -> str:
+    """Plain-Python reference implementation (test oracle)."""
+    t = token.lower()
+    vowels = set("aeijouyäöü")
+    raw = []
+    for i, c in enumerate(t):
+        prv = t[i - 1] if i > 0 else ""
+        nxt = t[i + 1] if i + 1 < len(t) else ""
+        if c in vowels:
+            raw.append("0")
+        elif c == "h":
+            pass
+        elif c == "b":
+            raw.append("1")
+        elif c == "p":
+            raw.append("3" if nxt == "h" else "1")
+        elif c in "dt":
+            raw.append("8" if nxt in "csz" and nxt else "2")
+        elif c in "fvw":
+            raw.append("3")
+        elif c in "gkq":
+            raw.append("4")
+        elif c == "c":
+            if prv in "sz" and prv:
+                raw.append("8")
+            elif i == 0 and nxt in "ahkloqrux" and nxt:
+                raw.append("4")
+            elif i > 0 and nxt in "ahkoqux" and nxt:
+                raw.append("4")
+            else:
+                raw.append("8")
+        elif c == "x":
+            raw.append("8" if prv in "ckq" and prv else "48")
+        elif c == "l":
+            raw.append("5")
+        elif c in "mn":
+            raw.append("6")
+        elif c == "r":
+            raw.append("7")
+        elif c in ("s", "z", "ß"):
+            raw.append("8")
+    r = "".join(raw)
+    out = []
+    for i, c in enumerate(r):
+        if i > 0 and (c == r[i - 1] or c == "0"):
+            continue
+        out.append(c)
+    return "".join(out)

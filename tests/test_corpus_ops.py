@@ -2646,3 +2646,43 @@ def test_q172_pps_semantics(spark, tmp_path):
     assert ("s1", 30) in sel         # tiny stratum still sampled
     per_src = sdf.groupby("source").size().to_dict()
     assert 1 <= per_src["s0"] <= PPS_K + 1
+
+
+def test_q173_koelner_published_examples():
+    """The rule table against the published Kölner Phonetik examples
+    (Postel 1969 / common references), via the plain-Python replica
+    that mirrors the generated SQL CASE."""
+    from german_ocr_spark.functions.german import koelner_phonetik_py as k
+
+    assert k("müller") == "657"
+    assert k("breschnew") == "17863"
+    assert k("wikipedia") == "3412"
+    assert k("müllerlüdenscheidt") == "65752682"
+    assert k("meyer") == k("maier") == "67"
+    assert k("schmidt") == k("schmitt") == "862"
+    assert k("heinz") == "068"  # leading 0 survives
+
+
+def test_q173_blocking_clusters_planted(spark, tmp_path):
+    """Planted OCR-variant pairs cluster under one code; an unrelated
+    token does not; SQL (both engines) agrees with the Python replica
+    for every emitted code."""
+    from german_ocr_spark.functions.german import koelner_phonetik_py as k
+
+    rows = [
+        (0, "meyer maier besuch", "de", "s0"),
+        (1, "schmidt schmitt besuch", "de", "s0"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    name = "q173_koelner_blocking"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    by_code = {r.code: r for r in sdf.itertuples()}
+    assert by_code[k("meyer")].n_forms == 2
+    assert (by_code[k("meyer")].min_form, by_code[k("meyer")].max_form) == (
+        "maier",
+        "meyer",
+    )
+    assert by_code[k("schmidt")].n_forms == 2
+    assert by_code[k("besuch")].n_forms == 1
+    assert by_code[k("besuch")].n_occ == 2

@@ -103,6 +103,8 @@ PINNED = {
     # merging session-window agg — no window-function pass, no self-join
     "q172_pps_sample": 1,  # one source shuffle shared by both windows;
     # the ticket filter is in-row
+    "q173_koelner_blocking": 2,  # vocab hash agg + code hash agg; the
+    # phonetic fold runs on VOCAB rows only, pure codegen
 }
 
 
