@@ -2686,3 +2686,25 @@ def test_q173_blocking_clusters_planted(spark, tmp_path):
     assert by_code[k("schmidt")].n_forms == 2
     assert by_code[k("besuch")].n_forms == 1
     assert by_code[k("besuch")].n_occ == 2
+
+
+def test_q174_chisq_hand_computed(spark, tmp_path):
+    """2x2 planted contingency (30/10 vs 10/30, uniform marginals):
+    every expectation is exactly 20 (e3 = 20000) and every cell
+    contributes exactly (O-E)^2/E = 5 -> 5,000,000 ppm; implied
+    chi-square = 20. Verified against the closed form by hand."""
+    rows = []
+    i = 0
+    for src, de_n, en_n in (("s0", 30, 10), ("s1", 10, 30)):
+        for _ in range(de_n):
+            rows.append((i, "t", "de", src)); i += 1
+        for _ in range(en_n):
+            rows.append((i, "t", "en", src)); i += 1
+    sf = _write_docs(tmp_path, rows)
+    name = "q174_chisq_cells"
+    sdf = QUERIES[name](spark, sf).toPandas()
+    assert compare(sdf, _oracle(sf, name)) is None
+    assert len(sdf) == 4
+    assert set(sdf.expected_e3) == {20000}
+    assert set(sdf.contrib_ppm) == {5000000}
+    assert sdf.contrib_ppm.sum() == 20 * 10**6
