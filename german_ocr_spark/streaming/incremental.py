@@ -542,3 +542,59 @@ def stream_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def session_stats(events: DataFrame, gap: str = "30 minutes",
+                  watermark: str = "30 minutes") -> DataFrame:
+    """NATIVE merging session windows (q170's expression) — one
+    definition for batch and stream. In streaming, the watermark
+    bounds state to OPEN sessions and lets append mode emit a session
+    once no on-time event can extend it; in batch the same expression
+    is a single groupBy. This is the built-in counterpart to the
+    applyInPandasWithState sessionizer above (_sessionize_with_state):
+    use the native form when per-session aggregates suffice, the
+    custom operator when per-event session tagging or bespoke state
+    transitions are needed."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_session_stats(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = "event_id long, user_id long, event_type string, "
+    "ts timestamp, value double, props string",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> StreamingQuery:
+    """Streaming session aggregates into parquet (append mode: a
+    session emits once the watermark passes its gap-extended end;
+    availableNow drains the backlog and finalizes everything older
+    than max-event-time - watermark)."""
+    events = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        session_stats(events, gap, watermark)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

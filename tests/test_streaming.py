@@ -354,3 +354,56 @@ def test_stream_upsert_checkpoint_replay_is_skipped(spark, tmp_path):
     q2.awaitTermination(300)
     after = _sorted(pipeline.read_output(spark, table))
     assert after.equals(before)
+
+
+def test_native_session_window_stream_matches_batch(spark, tmp_path):
+    """The NATIVE session_window form (q170's expression) run as an
+    availableNow stream agrees session-for-session with the batch run
+    of the same expression — the batch/stream unification the operator
+    exists for. Late-tail sessions still inside the watermark are
+    absent from the stream output (append-mode semantics); the inner
+    merge compares every finalized session."""
+    import datetime as dt
+
+    from german_ocr_spark.streaming.incremental import (
+        session_stats,
+        stream_session_stats,
+    )
+
+    inp = str(tmp_path / "se_in")
+    out = str(tmp_path / "se_out")
+    ckpt = str(tmp_path / "se_ckpt")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(5):
+        # two sessions per user: a burst, a >30min gap, another burst
+        for s, start_min in ((0, 0), (1, 90)):
+            for k in range(4):
+                rows.append(
+                    (eid, u, "click",
+                     base + dt.timedelta(minutes=start_min + 5 * k + u),
+                     float(k), "{}")
+                )
+                eid += 1
+    # sentinel far in the future advances the watermark past all real
+    # sessions so availableNow finalizes them
+    rows.append((eid, 999, "click", base + dt.timedelta(days=2), 0.0, "{}"))
+    schema = ("event_id long, user_id long, event_type string, ts timestamp, "
+              "value double, props string")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(inp)
+
+    q = stream_session_stats(spark, inp, out, ckpt)
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).filter("user_id <> 999").toPandas()
+    want = (
+        session_stats(spark.read.parquet(inp))
+        .filter("user_id <> 999")
+        .toPandas()
+    )
+    key = ["user_id", "session_start", "session_end"]
+    merged = want.merge(got, on=key, suffixes=("_b", "_s"))
+    assert len(got) == len(want) == 10  # every real session finalized
+    assert len(merged) == 10
+    assert (merged["n_events_b"] == merged["n_events_s"]).all()
+    assert (merged["total_value_b"] == merged["total_value_s"]).all()
