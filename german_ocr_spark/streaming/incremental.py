@@ -14,6 +14,7 @@ execution modes; batch/stream parity is asserted by tests.
 
 from __future__ import annotations
 
+import contextlib
 import threading
 from dataclasses import dataclass
 
@@ -598,3 +599,50 @@ def stream_session_stats(
         .trigger(availableNow=True)
         .start()
     )
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@contextlib.contextmanager
+def rocksdb_state(spark: SparkSession, changelog: bool = True):
+    """Start stateful streaming queries with the RocksDB state store.
+
+    Scale rationale: the default HDFS-backed provider keeps EVERY state
+    key in executor heap, so a watermarked dedup / sessionizer whose
+    horizon covers hours of a 10^12-doc feed OOMs on state long before
+    it bottlenecks on data. RocksDB keeps state on executor-local disk
+    with only the working set in block cache, and changelog
+    checkpointing ships per-batch deltas to the checkpoint location
+    instead of full SST snapshots — commit cost becomes O(keys changed
+    this batch), not O(total state).
+
+    The provider class is read from the session conf once, when a
+    query STARTS, so this context manager affects exactly the queries
+    started inside it. Spark refuses to reopen an existing checkpoint
+    under a different provider — choose the provider for the lifetime
+    of a query, not per restart.
+    """
+    keys = {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true" if changelog else "false",
+    }
+    # fallback=None distinguishes "never explicitly set" (restore by
+    # unsetting, so Spark's own default stays in charge) from an
+    # explicit user setting (restore that exact value)
+    old: dict[str, str | None] = {}
+    for k, v in keys.items():
+        old[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

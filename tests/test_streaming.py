@@ -407,3 +407,56 @@ def test_native_session_window_stream_matches_batch(spark, tmp_path):
     assert len(merged) == 10
     assert (merged["n_events_b"] == merged["n_events_s"]).all()
     assert (merged["total_value_b"] == merged["total_value_s"]).all()
+
+
+def test_stream_dedup_with_rocksdb_state_store(spark, tmp_path):
+    """The same watermarked streaming dedup runs under the RocksDB
+    state store provider (off-heap, disk-backed state — the provider
+    a 10^12-doc deployment needs, since HDFS-backed state lives in
+    executor heap) and produces byte-identical survivors. Also pins
+    that the provider actually engaged (RocksDB artifacts in the
+    checkpoint's state dir) and that the context manager restores the
+    session conf on exit."""
+    import glob
+    import os
+
+    from german_ocr_spark.streaming.incremental import (
+        ROCKSDB_PROVIDER,
+        rocksdb_state,
+        stream_dedup,
+    )
+
+    inp = str(tmp_path / "rk_in")
+    out = str(tmp_path / "rk_out")
+    ckpt = str(tmp_path / "rk_ckpt")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(f"doc-{i % 40:04d}", base + dt.timedelta(seconds=i), f"p{i}")
+            for i in range(100)]  # 40 unique ids, 100 deliveries
+    spark.createDataFrame(
+        rows, "doc_id string, ingest_ts timestamp, payload string"
+    ).write.mode("overwrite").parquet(inp)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    with rocksdb_state(spark):
+        assert spark.conf.get(key) == ROCKSDB_PROVIDER
+        q = stream_dedup(spark, inp, out, ckpt)
+        q.awaitTermination(300)
+    assert spark.conf.get(key, None) == before  # conf restored
+
+    got = spark.read.parquet(out)
+    assert got.count() == 40
+    assert got.select("doc_id").distinct().count() == 40
+
+    # the checkpoint's state dir must contain RocksDB commit artifacts
+    # (changelog/zip per batch), not the HDFS provider's .delta files
+    state_files = [
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(ckpt, "state", "**", "*"),
+                           recursive=True)
+        if os.path.isfile(p)
+    ]
+    assert any(f.endswith((".changelog", ".zip")) for f in state_files), (
+        state_files
+    )
+    assert not any(f.endswith(".delta") for f in state_files)
