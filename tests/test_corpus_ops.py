@@ -2708,3 +2708,30 @@ def test_q174_chisq_hand_computed(spark, tmp_path):
     assert set(sdf.expected_e3) == {20000}
     assert set(sdf.contrib_ppm) == {5000000}
     assert sdf.contrib_ppm.sum() == 20 * 10**6
+
+
+def test_q175_decay_activity_hand_computed(spark, tmp_path):
+    """User 1: 10 active hours with counts 1..10 (count = hour index +
+    1); only the 8 most recent rank, so score_x256 =
+    10*128 + 9*64 + 8*32 + 7*16 + 6*8 + 5*4 + 4*2 + 3*1 = 2303
+    (decay 8.99609375). User 2: 3 hours x 2 events =>
+    2*(128+64+32) = 448 (decay 1.75). Both by hand."""
+    rows, eid = [], 0
+    for h in range(10):
+        for _ in range(h + 1):
+            rows.append((eid, f"2024-01-01 {h:02d}:15:00", 1, "click", 1.0))
+            eid += 1
+    for h in range(3):
+        for _ in range(2):
+            rows.append((eid, f"2024-01-02 {h:02d}:45:00", 2, "view", 1.0))
+            eid += 1
+    d = _write_events(tmp_path, rows)
+    name = "q175_decay_activity"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    got = {r.user_id: r for r in sdf.itertuples()}
+    assert got[1].n_hours == 8 and got[1].score_x256 == 2303
+    assert got[1].decay_score == 2303 / 256
+    assert got[1].last_hour == "2024-01-01 09:00:00"
+    assert got[2].n_hours == 3 and got[2].score_x256 == 448
+    assert got[2].decay_score == 1.75

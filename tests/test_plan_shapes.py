@@ -105,6 +105,9 @@ PINNED = {
     # the ticket filter is in-row
     "q173_koelner_blocking": 2,  # vocab hash agg + code hash agg; the
     # phonetic fold runs on VOCAB rows only, pure codegen
+    "q175_decay_activity": 2,  # user x hour hash agg + the user_id
+    # window exchange; the final groupBy(user_id) reuses the window's
+    # partitioning (no third shuffle)
 }
 
 
