@@ -2735,3 +2735,34 @@ def test_q175_decay_activity_hand_computed(spark, tmp_path):
     assert got[1].last_hour == "2024-01-01 09:00:00"
     assert got[2].n_hours == 3 and got[2].score_x256 == 448
     assert got[2].decay_score == 1.75
+
+
+def test_q176_kcenter_hand_computed(spark, tmp_path):
+    """8 points in 2-D, greedy FPS by hand. Seed = v0 (0,0). Round 2
+    picks the farthest point v4 (10,1), d2=101; then v2 (0,6), d2=36;
+    v7 (0,-5), d2=25; v5 (3,3), d2=18; v6 (-4,0), d2=16. The
+    at-selection distances are non-increasing — the k-center
+    invariant — and every value is an exact integer so floor6 is
+    lossless."""
+    pts = {
+        0: (0.0, 0.0),
+        1: (10.0, 0.0),
+        2: (0.0, 6.0),
+        3: (1.0, 0.0),
+        4: (10.0, 1.0),
+        5: (3.0, 3.0),
+        6: (-4.0, 0.0),
+        7: (0.0, -5.0),
+    }
+    d = _write_embeddings(
+        tmp_path, [(i, list(v), 0) for i, v in pts.items()]
+    )
+    name = "q176_kcenter_coreset"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    got = sdf.sort_values("pick_order")
+    assert list(got.vec_id) == [0, 4, 2, 7, 5, 6]
+    assert list(got.min_d2_f6) == [0.0, 101.0, 36.0, 25.0, 18.0, 16.0]
+    # non-increasing from the first non-seed pick on
+    ds = list(got.min_d2_f6)[1:]
+    assert all(a >= b for a, b in zip(ds, ds[1:]))
