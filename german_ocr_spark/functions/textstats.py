@@ -129,27 +129,49 @@ def stopword_ratio_sql(expr: str) -> str:
     )
 
 
-def quality_score_col(col: Column) -> Column:
-    """Composite quality in [0,1]: length + stopword presence - punct excess.
-
-    score = floor4( min(len,2000)/2000 * 0.4 + min(sw_ratio,0.4)/0.4 * 0.4
-                    + (1 - min(punct_ratio,0.25)/0.25) * 0.2 )
-    """
+def _quality_raw_col(col: Column) -> Column:
     n = F.length(col).cast("double")
     len_part = F.least(n, F.lit(2000.0)) / 2000.0 * 0.4
     sw = stopword_ratio_col(col)
     sw_part = F.least(sw, F.lit(0.4)) / 0.4 * 0.4
     pr = punct_ratio_col(col)
     punct_part = (F.lit(1.0) - F.least(pr, F.lit(0.25)) / 0.25) * 0.2
-    return _floor4_col(len_part + sw_part + punct_part)
+    return len_part + sw_part + punct_part
 
 
-def quality_score_sql(expr: str) -> str:
+def _quality_raw_sql(expr: str) -> str:
     n = f"cast(length({expr}) as double)"
     len_part = f"(least({n}, 2000.0) / 2000.0 * 0.4)"
     sw_part = f"(least({stopword_ratio_sql(expr)}, 0.4) / 0.4 * 0.4)"
     punct_part = f"((1.0 - least({punct_ratio_sql(expr)}, 0.25) / 0.25) * 0.2)"
-    return _floor4_sql(f"{len_part} + {sw_part} + {punct_part}")
+    return f"{len_part} + {sw_part} + {punct_part}"
+
+
+def quality_score_col(col: Column) -> Column:
+    """Composite quality in [0,1]: length + stopword presence - punct excess.
+
+    score = floor4( min(len,2000)/2000 * 0.4 + min(sw_ratio,0.4)/0.4 * 0.4
+                    + (1 - min(punct_ratio,0.25)/0.25) * 0.2 )
+    """
+    return _floor4_col(_quality_raw_col(col))
+
+
+def quality_score_sql(expr: str) -> str:
+    return _floor4_sql(_quality_raw_sql(expr))
+
+
+def quality_score_e4_col(col: Column) -> Column:
+    """quality_score as an exact integer in [0, 10000] — floor(raw*1e4)
+    WITHOUT the divide-back-to-double step, so downstream arithmetic
+    (means, Brier terms, calibration bins) stays in exact integers.
+    floor(quality_score * 1e4) would NOT be safe: floor4's division by
+    1e4 rounds to the nearest double, and multiplying back can land an
+    ulp below the integer."""
+    return F.floor(_quality_raw_col(col) * 10000.0).cast("bigint")
+
+
+def quality_score_e4_sql(expr: str) -> str:
+    return f"CAST(floor(({_quality_raw_sql(expr)}) * 10000.0) AS BIGINT)"
 
 
 # ------------------------------------------------------------ fingerprint

@@ -2766,3 +2766,48 @@ def test_q176_kcenter_hand_computed(spark, tmp_path):
     # non-increasing from the first non-seed pick on
     ds = list(got.min_d2_f6)[1:]
     assert all(a >= b for a, b in zip(ds, ds[1:]))
+
+
+def _qe4_replica(text):
+    """Python-float replica of textstats.quality_score_e4 for
+    all-stopword, punctuation-free fixtures (sw_ratio capped at 0.4,
+    punct_ratio 0) — identical IEEE ops in identical order."""
+    import math
+
+    len_part = min(float(len(text)), 2000.0) / 2000.0 * 0.4
+    sw_part = 0.4 / 0.4 * 0.4
+    punct_part = (1.0 - 0.0 / 0.25) * 0.2
+    return math.floor((len_part + sw_part + punct_part) * 10000.0)
+
+
+def test_q177_calibration_hand_computed(spark, tmp_path):
+    """Two bins. Bin of text A ('der' x157, langid de): one doc
+    labelled de (y=1) and one labelled en (y=0) -> obs exactly
+    500000 ppm, Brier = ((qA-1e4)^2 + qA^2)//2. Bin of text B
+    ('the and is', langid en, lang en): perfect outcome, obs 1e6."""
+    text_a = "der " * 156 + "das"
+    text_b = "the and is"
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, text_a, "de", "web"),
+            (1, text_a, "en", "web"),
+            (2, text_b, "en", "web"),
+        ],
+    )
+    name = "q177_quality_calibration"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    qa, qb = _qe4_replica(text_a), _qe4_replica(text_b)
+    assert qa // 1000 != qb // 1000  # genuinely two bins
+    rows = {int(r.bin): r for r in sdf.itertuples()}
+    ba = rows[min(qa // 1000, 9)]
+    assert ba.n_docs == 2
+    assert ba.mean_pred_ppm == qa * 100
+    assert ba.obs_ppm == 500000
+    assert ba.gap_ppm == qa * 100 - 500000
+    assert ba.brier_e8 == ((qa - 10000) ** 2 + qa**2) // 2
+    bb = rows[min(qb // 1000, 9)]
+    assert bb.n_docs == 1
+    assert bb.obs_ppm == 1000000
+    assert bb.brier_e8 == (qb - 10000) ** 2
