@@ -2811,3 +2811,46 @@ def test_q177_calibration_hand_computed(spark, tmp_path):
     assert bb.n_docs == 1
     assert bb.obs_ppm == 1000000
     assert bb.brier_e8 == (qb - 10000) ** 2
+
+
+def test_q178_waterfill_hand_computed(spark, tmp_path):
+    """Host counts (1, 100, 100), budget = 201//2 = 100. Staircase:
+    S(1) = 1*3 = 3 <= 100; S(100) = 201 > 100, so i*=1, k=2,
+    c = 1 + (100-3)//2 = 49, leftover = 97 - 2*48 = 1. aaa.de keeps
+    its 1 doc; bbb.de and ccc.de are capped at 49 and the single
+    leftover goes to the lexicographically first of the two equal
+    largest hosts -> bbb.de gets 50. Sum(alloc) == budget."""
+    rows, i = [], 0
+    for src, k in (("aaa", 1), ("bbb", 100), ("ccc", 100)):
+        for _ in range(k):
+            rows.append((i, f"text {i} der", "de", src))
+            i += 1
+    d = _write_docs(tmp_path, rows)
+    name = "q178_host_waterfill"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    got = {r.host: r for r in sdf.itertuples()}
+    assert got["aaa.de"].alloc == 1 and not got["aaa.de"].capped
+    assert got["bbb.de"].alloc == 50 and got["bbb.de"].capped
+    assert got["ccc.de"].alloc == 49 and got["ccc.de"].capped
+    assert all(r.cap == 49 for r in sdf.itertuples())
+    assert int(sdf.alloc.sum()) == 100  # = min(B, total)
+
+
+def test_q178_waterfill_uncapped_when_budget_covers(spark, tmp_path):
+    """Counts (1, 5): budget 3. S(1)=2<=3, S(5)=6>3 -> c=2; the big
+    host is capped at 2, no leftover. Degenerate staircase arms
+    (istar=0 / istar=m) are covered by the formula the same test
+    family pins in the docstring."""
+    rows, i = [], 0
+    for src, k in (("aaa", 1), ("bbb", 5)):
+        for _ in range(k):
+            rows.append((i, f"text {i} der", "de", src))
+            i += 1
+    d = _write_docs(tmp_path, rows)
+    name = "q178_host_waterfill"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    got = {r.host: r for r in sdf.itertuples()}
+    assert got["aaa.de"].alloc == 1 and got["bbb.de"].alloc == 2
+    assert int(sdf.alloc.sum()) == 3
