@@ -2854,3 +2854,26 @@ def test_q178_waterfill_uncapped_when_budget_covers(spark, tmp_path):
     got = {r.host: r for r in sdf.itertuples()}
     assert got["aaa.de"].alloc == 1 and got["bbb.de"].alloc == 2
     assert int(sdf.alloc.sum()) == 3
+
+
+def test_q179_novelty_hand_computed(spark, tmp_path):
+    """Batch 0 (doc 0): 2 grams, both first occurrences -> 1e6 ppm.
+    Batch 1: doc 100 repeats one of doc 0's 5-grams (1 novel of 2),
+    doc 101 is a verbatim copy of doc 0 (0 novel of 2), doc 102 is
+    too short for any gram -> 4 grams, 1 novel, 250000 ppm, 3 docs."""
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, "a b c d e f", "de", "web"),
+            (100, "a b c d e x", "de", "web"),
+            (101, "a b c d e f", "de", "web"),
+            (102, "short doc", "de", "web"),
+        ],
+    )
+    name = "q179_novelty_curve"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    got = {int(r.batch): r for r in sdf.itertuples()}
+    b0, b1 = got[0], got[1]
+    assert (b0.n_docs, b0.n_grams, b0.n_novel, b0.novelty_ppm) == (1, 2, 2, 1000000)
+    assert (b1.n_docs, b1.n_grams, b1.n_novel, b1.novelty_ppm) == (3, 4, 1, 250000)
