@@ -2877,3 +2877,27 @@ def test_q179_novelty_hand_computed(spark, tmp_path):
     b0, b1 = got[0], got[1]
     assert (b0.n_docs, b0.n_grams, b0.n_novel, b0.novelty_ppm) == (1, 2, 2, 1000000)
     assert (b1.n_docs, b1.n_grams, b1.n_novel, b1.novelty_ppm) == (3, 4, 1, 250000)
+
+
+def test_q180_truncation_hand_computed(spark, tmp_path):
+    """Source 'web': docs of 600 and 100 tokens. At ctx=512 only the
+    600-token doc truncates: lost 88 of 700 -> floor(88e6/700) =
+    125714 ppm; at every larger ctx nothing is lost."""
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, " ".join(f"t{i}" for i in range(600)), "de", "web"),
+            (1, " ".join(f"t{i}" for i in range(100)), "de", "web"),
+        ],
+    )
+    name = "q180_truncation_waste"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    rows = {int(r.ctx): r for r in sdf.itertuples()}
+    assert set(rows) == {512, 1024, 2048, 4096}
+    r512 = rows[512]
+    assert (r512.n_docs, r512.total_tokens, r512.lost_tokens) == (2, 700, 88)
+    assert r512.n_truncated == 1
+    assert r512.waste_ppm == 88 * 1000000 // 700
+    for ctx in (1024, 2048, 4096):
+        assert rows[ctx].lost_tokens == 0 and rows[ctx].waste_ppm == 0
