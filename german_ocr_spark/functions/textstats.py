@@ -64,6 +64,20 @@ def stopword_count_sql(expr: str, lang: str = "de") -> str:
     return _count_sql(expr, _DE_PAT if lang == "de" else _EN_PAT)
 
 
+def _term_pat(terms) -> str:
+    return r"(?i)\b(" + "|".join(terms) + r")\b"
+
+
+def term_count_col(col: Column, terms) -> Column:
+    """Word-boundary, case-insensitive occurrence count of any term in
+    `terms` — the lexicon-scan primitive behind blocklist filters."""
+    return _count_col(col, _term_pat(terms))
+
+
+def term_count_sql(expr: str, terms) -> str:
+    return _count_sql(expr, _term_pat(terms))
+
+
 # ---------------------------------------------------------------- langid
 def langid_col(col: Column) -> Column:
     """n-gram/stopword heuristic language id: 'de' | 'en' | 'unknown'."""

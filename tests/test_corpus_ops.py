@@ -2901,3 +2901,25 @@ def test_q180_truncation_hand_computed(spark, tmp_path):
     assert r512.waste_ppm == 88 * 1000000 // 700
     for ctx in (1024, 2048, 4096):
         assert rows[ctx].lost_tokens == 0 and rows[ctx].waste_ppm == 0
+
+
+def test_q181_lexicon_hand_computed(spark, tmp_path):
+    """3 docs: 'Casino' matches case-insensitively (1 hit, 4 tokens),
+    one clean doc, one with 3 hits in 3 tokens. 2 of 3 docs flagged
+    -> 666666 ppm; 7 of 11 tokens lost -> 636363 ppm; 4 total hits."""
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, "das Casino ist offen", "de", "web"),
+            (1, "alles gut hier heute", "de", "web"),
+            (2, "lotterie lotterie casino", "de", "web"),
+        ],
+    )
+    name = "q181_lexicon_filter"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    r = sdf.iloc[0]
+    assert (r.n_docs, r.n_flagged, r.total_hits) == (3, 2, 4)
+    assert r.flagged_ppm == 2 * 1000000 // 3
+    assert (r.total_tokens, r.tokens_lost) == (11, 7)
+    assert r.lost_ppm == 7 * 1000000 // 11
