@@ -2923,3 +2923,23 @@ def test_q181_lexicon_hand_computed(spark, tmp_path):
     assert r.flagged_ppm == 2 * 1000000 // 3
     assert (r.total_tokens, r.tokens_lost) == (11, 7)
     assert r.lost_ppm == 7 * 1000000 // 11
+
+
+def test_q182_invoice_reconcile_hand_computed(spark, tmp_path):
+    """doc 7 (% 7 == 0): 4 items 260+273+286+299 = 1118 cents, stated
+    total planted at 1119 -> delta +1, ok False. doc 1: 38+51 = 89,
+    total 89 -> ok True. Fixture text itself is asserted so the
+    German-locale formatting (decimal comma, lpad cents) is pinned."""
+    d = _write_docs(
+        tmp_path,
+        [(1, "x", "de", "web"), (7, "x", "de", "web")],
+    )
+    name = "q182_invoice_reconcile"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    got = {int(r.doc_id): r for r in sdf.itertuples()}
+    r1, r7 = got[1], got[7]
+    assert (r1.n_items, r1.items_sum_cents, r1.total_cents) == (2, 89, 89)
+    assert r1.delta_cents == 0 and bool(r1.ok)
+    assert (r7.n_items, r7.items_sum_cents, r7.total_cents) == (4, 1118, 1119)
+    assert r7.delta_cents == 1 and not bool(r7.ok)
