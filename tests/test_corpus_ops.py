@@ -2943,3 +2943,59 @@ def test_q182_invoice_reconcile_hand_computed(spark, tmp_path):
     assert r1.delta_cents == 0 and bool(r1.ok)
     assert (r7.n_items, r7.items_sum_cents, r7.total_cents) == (4, 1118, 1119)
     assert r7.delta_cents == 1 and not bool(r7.ok)
+
+
+def test_q183_wilson_rank_inversion(spark, tmp_path):
+    """'tiny': 3/3 keeps -> raw 1e6 ppm but Wilson LB (5-2)/7 =
+    428571 ppm. 'big': 99/100 keeps -> raw 990000 ppm, Wilson LB
+    ~944025 ppm. The raw rate ranks tiny first; Wilson inverts —
+    that inversion is the operator's purpose."""
+    import math
+
+    de = "der die das und ist nicht ein mit"
+    en = "the and is not a with of to"
+    rows, i = [], 0
+    for _ in range(3):
+        rows.append((i, de, "de", "tiny")); i += 1
+    for _ in range(99):
+        rows.append((i, de, "de", "big")); i += 1
+    rows.append((i, en, "de", "big")); i += 1
+    d = _write_docs(tmp_path, rows)
+    name = "q183_wilson_source_rank"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    got = {r.source: r for r in sdf.itertuples()}
+    t, b = got["tiny"], got["big"]
+    assert (t.n, t.k, t.keep_ppm) == (3, 3, 1000000)
+    assert (b.n, b.k, b.keep_ppm) == (100, 99, 990000)
+
+    def lb(k, n):
+        return math.floor(
+            (k + 2 - 2 * math.sqrt((k * (n - k)) / n + 1.0))
+            / (n + 4) * 1000000.0
+        )
+
+    assert t.wilson_lb_ppm == lb(3, 3) == 428571
+    assert b.wilson_lb_ppm == lb(99, 100)
+    assert b.rnk < t.rnk  # Wilson inverts the raw-rate order
+
+
+def test_q184_padding_hand_computed(spark, tmp_path):
+    """Lengths 1, 2, 3, 5, 8, 9 tokens -> buckets 1, 2, 4, 8, 8, 16
+    (exact powers stay put, 2^j + 1 doubles). total 28 tokens, 39
+    slots, 11 pad -> floor(11e6/39) = 282051 ppm."""
+    lens = [1, 2, 3, 5, 8, 9]
+    d = _write_docs(
+        tmp_path,
+        [
+            (i, " ".join(f"w{j}" for j in range(L)), "de", "web")
+            for i, L in enumerate(lens)
+        ],
+    )
+    name = "q184_padding_waste"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    r = sdf.iloc[0]
+    assert (r.n_docs, r.total_tokens, r.total_slots) == (6, 28, 39)
+    assert r.pad_tokens == 11
+    assert r.pad_ppm == 11 * 1000000 // 39
