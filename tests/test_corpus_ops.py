@@ -2999,3 +2999,36 @@ def test_q184_padding_hand_computed(spark, tmp_path):
     assert (r.n_docs, r.total_tokens, r.total_slots) == (6, 28, 39)
     assert r.pad_tokens == 11
     assert r.pad_ppm == 11 * 1000000 // 39
+
+
+def test_q185_rolling_hll_mergeability(spark, tmp_path):
+    """Day 1: users 1..200; day 5: users 101..300 (union 300). The
+    day-5 window merges both daily sketches; building ONE sketch over
+    the union (fixture B, all 300 users on one day) must give the
+    IDENTICAL estimate — register-MAX merge == build-on-union, the
+    property that lets 10^12-row windows reuse daily sketches."""
+    rows, eid = [], 0
+    for u in range(1, 201):
+        rows.append((eid, "2024-01-01 10:00:00", u, "click", 1.0)); eid += 1
+    for u in range(101, 301):
+        rows.append((eid, "2024-01-05 10:00:00", u, "view", 1.0)); eid += 1
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    da = _write_events(tmp_path / "a", rows)
+    name = "q185_rolling_hll"
+    sa = QUERIES[name](spark, da).toPandas()
+    assert compare(sa, _oracle(da, name)) is None
+    got = {r.day: r for r in sa.itertuples()}
+    d1, d5 = got["2024-01-01"], got["2024-01-05"]
+    assert (d1.window_days, d1.exact_users) == (1, 200)
+    assert (d5.window_days, d5.exact_users) == (2, 300)
+    assert d1.err_ppm < 200000 and d5.err_ppm < 200000
+
+    rows_b = [
+        (i, "2024-01-05 10:00:00", u, "click", 1.0)
+        for i, u in enumerate(range(1, 301))
+    ]
+    db = _write_events(tmp_path / "b", rows_b)
+    sb = QUERIES[name](spark, db).toPandas()
+    union_est = int(sb[sb.day == "2024-01-05"].hll_est.iloc[0])
+    assert int(d5.hll_est) == union_est  # merge == build-on-union
