@@ -3032,3 +3032,40 @@ def test_q185_rolling_hll_mergeability(spark, tmp_path):
     sb = QUERIES[name](spark, db).toPandas()
     union_est = int(sb[sb.day == "2024-01-05"].hll_est.iloc[0])
     assert int(d5.hll_est) == union_est  # merge == build-on-union
+
+
+def test_q186_histogram_quantiles_hand_computed(spark, tmp_path):
+    """n_chars 10..100 step 10 split across two sources. isqrt
+    buckets: 3,4,5,6,7,7,8,8,9,10. P50 cut lands in bucket 7 ->
+    est 8^2-1 = 63 vs exact 50; P90 -> bucket 9, est 99 vs 90;
+    P99 -> bucket 10, est 120 vs 100. est >= exact always. The same
+    docs in ONE source must give the identical table (summary merge
+    is plain addition)."""
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    vals = list(range(10, 101, 10))
+
+    def mk(dirname, sources):
+        return _write_docs(
+            tmp_path / dirname,
+            [
+                (i, "x" * v, "de", sources[i % len(sources)], v)
+                for i, v in enumerate(vals)
+            ],
+        )
+
+    name = "q186_histogram_quantiles"
+    da = mk("a", ["s1", "s2"])
+    sa = QUERIES[name](spark, da).toPandas()
+    assert compare(sa, _oracle(da, name)) is None
+    got = {int(r.q_pct): r for r in sa.itertuples()}
+    assert (got[50].exact_val, got[50].est_val, got[50].err_abs) == (50, 63, 13)
+    assert (got[90].exact_val, got[90].est_val, got[90].err_abs) == (90, 99, 9)
+    assert (got[99].exact_val, got[99].est_val, got[99].err_abs) == (100, 120, 20)
+    assert (sa.err_abs >= 0).all()
+
+    db = mk("b", ["only"])
+    sb = QUERIES[name](spark, db).toPandas()
+    assert sorted(map(tuple, sb.values.tolist())) == sorted(
+        map(tuple, sa.values.tolist())
+    )
