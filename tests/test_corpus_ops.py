@@ -3069,3 +3069,48 @@ def test_q186_histogram_quantiles_hand_computed(spark, tmp_path):
     assert sorted(map(tuple, sb.values.tolist())) == sorted(
         map(tuple, sa.values.tolist())
     )
+
+
+def test_q187_label_drift_hand_computed(spark, tmp_path):
+    """8 vectors, global halves split at vec_id 4. Label 0 flips from
+    (1,0) to (0,1) -> drift cosine exactly 0. Label 1 keeps
+    direction (3,4) -> cosine exactly 1."""
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0),
+        (2, [3.0, 4.0], 1), (3, [3.0, 4.0], 1),
+        (4, [0.0, 1.0], 0), (5, [0.0, 1.0], 0),
+        (6, [3.0, 4.0], 1), (7, [3.0, 4.0], 1),
+    ]
+    d = _write_embeddings(tmp_path, rows)
+    name = "q187_label_drift"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    got = {int(r.label): r for r in sdf.itertuples()}
+    assert (got[0].n_first, got[0].n_second) == (2, 2)
+    assert got[0].drift_cos == 0.0
+    assert got[1].drift_cos == 1.0
+
+
+def test_q188_bot_bursts_hand_computed(spark, tmp_path):
+    """user 1: 13 events in one second -> bot. user 2: exactly
+    BOT_BURST_MAX=12 in one second -> NOT bot (strict >). user 3: 13
+    events spread 5s apart over 60s -> the rolling [t-59, t] window
+    peaks at 12 (the first event falls out) -> NOT bot."""
+    rows, eid = [], 0
+    for _ in range(13):
+        rows.append((eid, "2024-01-01 10:00:00", 1, "click", 1.0)); eid += 1
+    for _ in range(12):
+        rows.append((eid, "2024-01-01 10:00:00", 2, "click", 1.0)); eid += 1
+    for k in range(13):
+        t = 5 * k
+        rows.append(
+            (eid, f"2024-01-01 10:{t // 60:02d}:{t % 60:02d}", 3, "click", 1.0)
+        ); eid += 1
+    d = _write_events(tmp_path, rows)
+    name = "q188_bot_bursts"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    got = {int(r.user_id): r for r in sdf.itertuples()}
+    assert (got[1].n_events, got[1].max_60s, bool(got[1].is_bot)) == (13, 13, True)
+    assert (got[2].max_60s, bool(got[2].is_bot)) == (12, False)
+    assert (got[3].n_events, got[3].max_60s, bool(got[3].is_bot)) == (13, 12, False)
