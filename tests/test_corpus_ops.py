@@ -3114,3 +3114,37 @@ def test_q188_bot_bursts_hand_computed(spark, tmp_path):
     assert (got[1].n_events, got[1].max_60s, bool(got[1].is_bot)) == (13, 13, True)
     assert (got[2].max_60s, bool(got[2].is_bot)) == (12, False)
     assert (got[3].n_events, got[3].max_60s, bool(got[3].is_bot)) == (13, 12, False)
+
+
+def test_q189_threshold_sweep_hand_computed(spark, tmp_path):
+    """Doc A scores ~7254 e4 (all-German stopwords, 627 chars), doc B
+    ~6020 (English), doc C repeats B's text with a mismatched lang so
+    it never survives. Keeps: both A and B at thresholds <= B's
+    score, only A above it; kept_tokens tracks 157+3 vs 157; the
+    whole curve is monotone non-increasing."""
+    from german_ocr_spark.queries import QT_GRID_E4
+
+    text_a = "der " * 156 + "das"
+    text_b = "the and is"
+    qa, qb = _qe4_replica(text_a), _qe4_replica(text_b)
+    assert qa >= max(QT_GRID_E4) and min(QT_GRID_E4) <= qb < qa
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, text_a, "de", "web"),
+            (1, text_b, "en", "web"),
+            (2, text_b, "de", "web"),
+        ],
+    )
+    name = "q189_threshold_sweep"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    got = {int(r.t_e4): r for r in sdf.itertuples()}
+    for t in QT_GRID_E4:
+        exp_keep = 1 + (1 if qb >= t else 0)
+        assert got[t].n_docs == 3
+        assert got[t].n_keep == exp_keep
+        assert got[t].kept_tokens == 157 + (3 if qb >= t else 0)
+        assert got[t].keep_ppm == exp_keep * 1000000 // 3
+    curve = [got[t].n_keep for t in sorted(QT_GRID_E4)]
+    assert curve == sorted(curve, reverse=True)
