@@ -3148,3 +3148,33 @@ def test_q189_threshold_sweep_hand_computed(spark, tmp_path):
         assert got[t].keep_ppm == exp_keep * 1000000 // 3
     curve = [got[t].n_keep for t in sorted(QT_GRID_E4)]
     assert curve == sorted(curve, reverse=True)
+
+
+def test_q190_reciprocal_nn_hand_computed(spark, tmp_path):
+    """Cell 0 holds A=(10,1), B=(10,1.25), C=(10,5) (dim 8, float32-
+    exact values). A and B are mutually nearest (1.4 deg apart); C's
+    1-NN is B but B's is A, so C reciprocates nothing. Exactly one
+    RNN pair (A,B) with the replicated floor6 cosine."""
+    import math
+
+    dim = 8
+    rows = []
+    for c in range(16):  # IVF_N_CELLS centroids
+        v = [0.0] * dim
+        v[c % dim] = 100.0 * (1 + c // dim)
+        rows.append((c, v, 0))
+    for vid, y in ((16, 1.0), (17, 1.25), (18, 5.0)):
+        v = [0.0] * dim
+        v[0], v[1] = 10.0, y
+        rows.append((vid, v, 0))
+    d = _write_embeddings(tmp_path, rows)
+    name = "q190_reciprocal_nn"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    assert len(sdf) == 1
+    r = sdf.iloc[0]
+    assert (r.vec_a, r.vec_b) == (16, 17)
+    exp = math.floor(
+        101.25 / (math.sqrt(101.0) * math.sqrt(101.5625)) * 1e6
+    ) / 1e6
+    assert r.cos_sim == exp
