@@ -3178,3 +3178,34 @@ def test_q190_reciprocal_nn_hand_computed(spark, tmp_path):
         101.25 / (math.sqrt(101.0) * math.sqrt(101.5625)) * 1e6
     ) / 1e6
     assert r.cos_sim == exp
+
+
+def test_q191_journey_fingerprints_hand_computed(spark, tmp_path):
+    """Users 1 and 2 share the opening click>view>click>buy>view
+    (user 1 has a differing 6th event — tails must not matter).
+    Users 3 and 4 share a full 3-event journey. User 5's different
+    order matches nobody. Two groups exactly."""
+    seq = ["click", "view", "click", "buy", "view"]
+    rows, eid = [], 0
+
+    def add(user, types):
+        nonlocal eid
+        for k, t in enumerate(types):
+            rows.append(
+                (eid, f"2024-01-01 10:{k:02d}:00", user, t, 1.0)
+            )
+            eid += 1
+
+    add(1, seq + ["click"])
+    add(2, seq)
+    add(3, ["click", "view", "click"])
+    add(4, ["click", "view", "click"])
+    add(5, ["view", "click", "view"])
+    d = _write_events(tmp_path, rows)
+    name = "q191_journey_fingerprints"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    assert len(sdf) == 2
+    got = {int(r.opening_len): r for r in sdf.itertuples()}
+    assert (got[5].n_users, got[5].example_user) == (2, 1)
+    assert (got[3].n_users, got[3].example_user) == (2, 3)
