@@ -3209,3 +3209,25 @@ def test_q191_journey_fingerprints_hand_computed(spark, tmp_path):
     got = {int(r.opening_len): r for r in sdf.itertuples()}
     assert (got[5].n_users, got[5].example_user) == (2, 1)
     assert (got[3].n_users, got[3].example_user) == (2, 3)
+
+
+def test_q192_trending_hand_computed(spark, tmp_path):
+    """Second half (docs 2, 3) plants 6 occurrences of 'surge surge'
+    never seen in the first half -> the only bigram clearing the
+    support floor, lift (6+1)*1e6/(0+1) = 7e6 ppm. 'alpha beta'
+    appears in both halves but misses the support floor (f1=1)."""
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, "alpha beta alpha beta", "de", "web"),
+            (1, "alpha beta gamma", "de", "web"),
+            (2, "surge surge surge surge surge surge", "de", "web"),
+            (3, "surge surge alpha beta", "de", "web"),
+        ],
+    )
+    name = "q192_trending_phrases"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    assert len(sdf) == 1
+    r = sdf.iloc[0]
+    assert (r.gram, r.f0, r.f1, r.lift_ppm) == ("surge surge", 0, 6, 7000000)
