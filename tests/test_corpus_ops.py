@@ -3231,3 +3231,50 @@ def test_q192_trending_hand_computed(spark, tmp_path):
     assert len(sdf) == 1
     r = sdf.iloc[0]
     assert (r.gram, r.f0, r.f1, r.lift_ppm) == ("surge surge", 0, 6, 7000000)
+
+
+def test_q193_vocab_overlap_hand_computed(spark, tmp_path):
+    """Source A vocab {a,b,c} (duplicates within docs collapse),
+    source B {b,c,d}, source C {x}. A-B share {b,c}: Jaccard
+    2/4 = 500000 ppm; pairs with C share nothing and emit no row
+    (inner intersection join)."""
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, "a b c a", "de", "A"),
+            (1, "b c", "de", "A"),
+            (2, "b c d", "de", "B"),
+            (3, "x", "de", "C"),
+        ],
+    )
+    name = "q193_vocab_overlap"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    assert len(sdf) == 1
+    r = sdf.iloc[0]
+    assert (r.src_a, r.src_b) == ("A", "B")
+    assert (r.vocab_a, r.vocab_b, r.n_common) == (3, 3, 2)
+    assert r.jaccard_ppm == 500000
+
+
+def test_q194_source_oov_hand_computed(spark, tmp_path):
+    """Global vocab keeps the top 50 types: 3 doubled types from
+    source A plus the alphabetically-first 47 of source B's 57
+    singletons (ties at n=1 break by token text). B's last 10
+    singletons are OOV: 10 of 57 tokens -> floor(1e7/57)... =
+    175438 ppm; A reads fully in-vocab."""
+    b_text = " ".join(f"r{i:02d}" for i in range(57))
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, "c0 c0 c1 c1 c2 c2", "de", "A"),
+            (1, b_text, "de", "B"),
+        ],
+    )
+    name = "q194_source_oov"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    got = {r.source: r for r in sdf.itertuples()}
+    assert (got["A"].n_tokens, got["A"].n_oov, got["A"].oov_ppm) == (6, 0, 0)
+    assert (got["B"].n_tokens, got["B"].n_oov) == (57, 10)
+    assert got["B"].oov_ppm == 10 * 1000000 // 57
