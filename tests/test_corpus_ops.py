@@ -3278,3 +3278,28 @@ def test_q194_source_oov_hand_computed(spark, tmp_path):
     assert (got["A"].n_tokens, got["A"].n_oov, got["A"].oov_ppm) == (6, 0, 0)
     assert (got["B"].n_tokens, got["B"].n_oov) == (57, 10)
     assert got["B"].oov_ppm == 10 * 1000000 // 57
+
+
+def test_q195_interleave_profile_hand_computed(spark, tmp_path):
+    """Docs 0..4 land one per span-count cohort (k = 2 + id % 5);
+    media/transition counts derived by hand from the (id + i) % 3
+    rule — e.g. doc 3 has spans i-t-t-i-t: 2 media, 3 transitions,
+    opens with media."""
+    d = _write_docs(
+        tmp_path, [(i, "x", "de", "web") for i in range(5)]
+    )
+    name = "q195_interleave_profile"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    got = {int(r.n_spans): r for r in sdf.itertuples()}
+    exp = {
+        2: (1, 500000, 1000000, 1),
+        3: (1, 333333, 500000, 0),
+        4: (1, 250000, 666666, 0),
+        5: (1, 400000, 750000, 1),
+        6: (1, 333333, 600000, 0),
+    }
+    for k, (nd, mp, ap, mf) in exp.items():
+        r = got[k]
+        assert (r.n_docs, r.media_ppm, r.alternation_ppm, r.n_media_first) \
+            == (nd, mp, ap, mf), k
