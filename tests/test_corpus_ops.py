@@ -3303,3 +3303,24 @@ def test_q195_interleave_profile_hand_computed(spark, tmp_path):
         r = got[k]
         assert (r.n_docs, r.media_ppm, r.alternation_ppm, r.n_media_first) \
             == (nd, mp, ap, mf), k
+
+
+def test_q196_caption_coverage_hand_computed(spark, tmp_path):
+    """Docs 0..4 (one per span-count cohort) hand-derived from the
+    residue rules: 7 images total, 4 captioned (docs 1 and 3 fully,
+    doc 4 partially), orphan docs = {0, 2, 4}. Doc 10 (k=2, both
+    spans text) has no media and its source must not appear."""
+    d = _write_docs(
+        tmp_path,
+        [(i, "x", "de", "web") for i in range(5)]
+        + [(10, "x", "de", "nomedia")],
+    )
+    name = "q196_caption_coverage"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    assert set(sdf["source"]) == {"web"}
+    r = sdf.iloc[0]
+    assert (
+        r.n_images, r.n_captioned, r.caption_ppm,
+        r.n_docs_media, r.n_docs_orphan,
+    ) == (7, 4, 571428, 5, 3)
