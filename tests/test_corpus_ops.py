@@ -3324,3 +3324,19 @@ def test_q196_caption_coverage_hand_computed(spark, tmp_path):
         r.n_images, r.n_captioned, r.caption_ppm,
         r.n_docs_media, r.n_docs_orphan,
     ) == (7, 4, 571428, 5, 3)
+
+
+def test_q197_watermark_audit_hand_computed(spark, tmp_path):
+    """Type 'a' (ids 1..10): delays (id*37)%120 -> five events beyond
+    60 s -> 500000 ppm late, max 111, p99.9 = max = 111. Type 'b' is
+    the single straggler id 97: 109 + 3600 = 3709 everywhere."""
+    rows = [
+        (i, "2024-01-01T00:00:00", 1, "a", 0.0) for i in range(1, 11)
+    ] + [(97, "2024-01-01T00:00:00", 2, "b", 0.0)]
+    d = _write_events(tmp_path, rows)
+    name = "q197_watermark_audit"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("event_type")
+    assert tuple(by.loc["a"]) == (10, 111, 500000, 111)
+    assert tuple(by.loc["b"]) == (1, 3709, 1000000, 3709)
