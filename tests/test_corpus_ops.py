@@ -3340,3 +3340,28 @@ def test_q197_watermark_audit_hand_computed(spark, tmp_path):
     by = sdf.set_index("event_type")
     assert tuple(by.loc["a"]) == (10, 111, 500000, 111)
     assert tuple(by.loc["b"]) == (1, 3709, 1000000, 3709)
+
+
+def test_q198_join_preflight_hand_computed(spark, tmp_path):
+    """User 1: 3 clicks x 2 purchases = 6 pairs; user 2: 1 x 1 = 1;
+    user 3 clicks only -> excluded. Total 7 pairs -> shares
+    857142 / 142857 ppm; hot key ranked first."""
+    rows = []
+    eid = 0
+    for _ in range(3):
+        rows.append((eid, "2024-01-01T00:00:00", 1, "click", 0.0)); eid += 1
+    for _ in range(2):
+        rows.append((eid, "2024-01-01T00:00:00", 1, "purchase", 0.0)); eid += 1
+    rows += [
+        (eid, "2024-01-01T00:00:00", 2, "click", 0.0),
+        (eid + 1, "2024-01-01T00:00:00", 2, "purchase", 0.0),
+        (eid + 2, "2024-01-01T00:00:00", 3, "click", 0.0),
+    ]
+    d = _write_events(tmp_path, rows)
+    name = "q198_join_preflight"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    assert [tuple(r) for r in sdf.itertuples(index=False)] == [
+        (1, 3, 2, 6, 857142),
+        (2, 1, 1, 1, 142857),
+    ]
