@@ -3365,3 +3365,43 @@ def test_q198_join_preflight_hand_computed(spark, tmp_path):
         (1, 3, 2, 6, 857142),
         (2, 1, 1, 1, 142857),
     ]
+
+
+def test_q199_rendezvous_minimal_movement(spark, tmp_path):
+    """Against a pure-Python md5 replica on 60 docs: per-shard before
+    counts match exactly; removing shard 5 moves ONLY its docs
+    (n_after = n_before + n_moved_in on survivors, n_after = 0 on the
+    removed shard, total moved = shard 5's population)."""
+    from german_ocr_spark.queries import RDV_DOWN, RDV_SHARDS
+
+    d = _write_docs(tmp_path, [(i, "x", "de", "web") for i in range(60)])
+    name = "q199_rendezvous_rebalance"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+
+    def score(doc, s):
+        h = hashlib.md5(f"{doc}:{s}".encode()).hexdigest()
+        return int(h[:12], 16) * RDV_SHARDS + s
+
+    before, after = {}, {}
+    for doc in range(60):
+        b = max(range(RDV_SHARDS), key=lambda s: score(doc, s))
+        a = max(
+            (s for s in range(RDV_SHARDS) if s != RDV_DOWN),
+            key=lambda s: score(doc, s),
+        )
+        before[b] = before.get(b, 0) + 1
+        after[a] = after.get(a, 0) + 1
+        assert b == RDV_DOWN or a == b  # survivors never move
+    by = sdf.set_index("shard")
+    assert int(by["n_before"].sum()) == 60
+    assert int(by.loc[RDV_DOWN, "n_after"]) == 0
+    assert int(by["n_moved_in"].sum()) == before.get(RDV_DOWN, 0)
+    for s in range(RDV_SHARDS):
+        assert int(by.loc[s, "n_before"]) == before.get(s, 0)
+        if s != RDV_DOWN:
+            assert int(by.loc[s, "n_after"]) == after.get(s, 0)
+            assert (
+                by.loc[s, "n_after"]
+                == by.loc[s, "n_before"] + by.loc[s, "n_moved_in"]
+            )
