@@ -3405,3 +3405,23 @@ def test_q199_rendezvous_minimal_movement(spark, tmp_path):
                 by.loc[s, "n_after"]
                 == by.loc[s, "n_before"] + by.loc[s, "n_moved_in"]
             )
+
+
+def test_q200_code_switching_hand_computed(spark, tmp_path):
+    """Doc 0 is half German / half English with the char midpoint on
+    the seam -> switched; doc 1 is German throughout; doc 2 has no
+    stopwords at all -> both halves unknown."""
+    g = "der die das und ist."   # 20 chars, langid 'de'
+    e = "the and is not that "   # 20 chars, langid 'en'
+    x = "xyz qwe rty uio zxc "   # 20 chars, langid 'unknown'
+    d = _write_docs(
+        tmp_path,
+        [(0, g + e, "de", "web"), (1, g + g, "de", "web"),
+         (2, x + x, "de", "web")],
+    )
+    name = "q200_code_switching"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    r = sdf.iloc[0]
+    assert (r.n_docs, r.n_switched, r.switched_ppm, r.n_half_unknown) \
+        == (3, 1, 333333, 1)
