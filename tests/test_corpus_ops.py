@@ -3425,3 +3425,54 @@ def test_q200_code_switching_hand_computed(spark, tmp_path):
     r = sdf.iloc[0]
     assert (r.n_docs, r.n_switched, r.switched_ppm, r.n_half_unknown) \
         == (3, 1, 333333, 1)
+
+
+def _simhash_py(text):
+    toks = sorted(set(text.strip().split()))
+    hs = [int(hashlib.md5(t.encode()).hexdigest()[:12], 16) for t in toks]
+    sig = 0
+    for b in range(48):
+        ones = sum(1 for h in hs if (h >> b) & 1)
+        if ones * 2 >= len(hs):
+            sig |= 1 << b
+    return sig
+
+
+def test_q201_near_decontaminate_planted(spark, tmp_path):
+    """Doc 12 is in the eval slice (md5('eval:12') < '10'); train doc 0
+    copies it verbatim -> flagged at hamming 0; train doc 2 is a light
+    paraphrase -> presence and min_hamming must match the pure-Python
+    SimHash replica; train doc 1 shares nothing -> absent."""
+    from german_ocr_spark.queries import (
+        SH_BAND_BITS, SH_HAM_MAX, SH_N_BANDS,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    para = " ".join(
+        ("swapped" + str(i)) if i in (3, 17) else f"w{i}" for i in range(40)
+    )
+    other = " ".join(f"z{i}" for i in range(40))
+    d = _write_docs(
+        tmp_path,
+        [(12, base, "de", "web"), (0, base, "de", "web"),
+         (1, other, "de", "web"), (2, para, "de", "web")],
+    )
+    name = "q201_near_decontaminate"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("doc_id")  # string-typed in the simhash family
+    assert by.loc["0", "min_hamming"] == 0
+    assert by.loc["0", "n_eval_near"] == 1
+    assert "1" not in by.index
+    s_eval, s_para = _simhash_py(base), _simhash_py(para)
+    hd = bin(s_eval ^ s_para).count("1")
+    mask = (1 << SH_BAND_BITS) - 1
+    collides = any(
+        ((s_eval >> (SH_BAND_BITS * i)) & mask)
+        == ((s_para >> (SH_BAND_BITS * i)) & mask)
+        for i in range(SH_N_BANDS)
+    )
+    if collides and hd <= SH_HAM_MAX:
+        assert by.loc["2", "min_hamming"] == hd
+    else:
+        assert "2" not in by.index
