@@ -3476,3 +3476,30 @@ def test_q201_near_decontaminate_planted(spark, tmp_path):
         assert by.loc["2", "min_hamming"] == hd
     else:
         assert "2" not in by.index
+
+
+def test_q202_cluster_chaining_planted(spark, tmp_path):
+    """Chain A-B-C: hamming(A,B)=2 and hamming(B,C)=3 are edges, but
+    C sits 5 bits from keeper A (no direct edge) -> exactly one
+    chained member with max distance 5. The identical pair 3/4 forms
+    a clean cluster (0 chained); word choices pre-searched against
+    the python SimHash replica so the topology is guaranteed."""
+    A = " ".join(f"w{i}" for i in range(40))
+    B = " ".join(("x0" if i == 5 else f"w{i}") for i in range(40))
+    C = " ".join(
+        ("x0" if i == 5 else ("y1" if i == 25 else f"w{i}"))
+        for i in range(40)
+    )
+    Z = " ".join(f"zz{i}" for i in range(40))
+    d = _write_docs(
+        tmp_path,
+        [(0, A, "de", "web"), (1, B, "de", "web"), (2, C, "de", "web"),
+         (3, Z, "de", "web"), (4, Z, "de", "web")],
+    )
+    name = "q202_cluster_chaining"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("component")
+    assert tuple(by.loc["0"]) == (3, 1, 5)
+    assert tuple(by.loc["3"]) == (2, 0, 0)
+    assert len(sdf) == 2
