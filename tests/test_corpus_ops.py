@@ -3503,3 +3503,24 @@ def test_q202_cluster_chaining_planted(spark, tmp_path):
     assert tuple(by.loc["0"]) == (3, 1, 5)
     assert tuple(by.loc["3"]) == (2, 0, 0)
     assert len(sdf) == 2
+
+
+def test_q203_mad_outliers_hand_computed(spark, tmp_path):
+    """de: values 10,12,12,14,100 -> median 12, deviations {0:2,2:2,
+    88:1} -> MAD 2, one 3-MAD outlier (the 100). en: 50,50,50,51 ->
+    MAD 0, so ANY deviation flags -> the 51 is an outlier (the
+    documented MAD=0 degeneracy on near-constant data)."""
+    d = _write_docs(
+        tmp_path,
+        [(0, "x", "de", "s", 10), (1, "x", "de", "s", 12),
+         (2, "x", "de", "s", 12), (3, "x", "de", "s", 14),
+         (4, "x", "de", "s", 100),
+         (5, "x", "en", "s", 50), (6, "x", "en", "s", 50),
+         (7, "x", "en", "s", 50), (8, "x", "en", "s", 51)],
+    )
+    name = "q203_mad_outliers"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("lang")
+    assert tuple(by.loc["de"]) == (5, 12, 2, 1, 200000)
+    assert tuple(by.loc["en"]) == (4, 50, 0, 1, 250000)
