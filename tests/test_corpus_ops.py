@@ -3524,3 +3524,47 @@ def test_q203_mad_outliers_hand_computed(spark, tmp_path):
     by = sdf.set_index("lang")
     assert tuple(by.loc["de"]) == (5, 12, 2, 1, 200000)
     assert tuple(by.loc["en"]) == (4, 50, 0, 1, 250000)
+
+
+def test_q204_fk_orphans_planted(spark, tmp_path):
+    """Mini star schema with two planted violations: one order points
+    at customer 999 (absent) and one lineitem at part 999 — every
+    other edge reports zero orphans with exact child counts."""
+    star = {
+        "region": {"r_regionkey": [0], "r_name": ["EU"]},
+        "nation": {"n_nationkey": [0, 1], "n_name": ["DE", "FR"],
+                   "n_regionkey": [0, 0]},
+        "customer": {"c_custkey": [10, 11], "c_name": ["a", "b"],
+                     "c_nationkey": [0, 1], "c_acctbal": [0.0, 0.0],
+                     "c_mktsegment": ["x", "x"]},
+        "supplier": {"s_suppkey": [20], "s_name": ["s"],
+                     "s_nationkey": [1], "s_acctbal": [0.0]},
+        "part": {"p_partkey": [30], "p_name": ["p"], "p_brand": ["b"],
+                 "p_type": ["t"], "p_size": [1], "p_retailprice": [1.0]},
+        "orders": {"o_orderkey": [40, 41, 42],
+                   "o_custkey": [10, 11, 999],
+                   "o_orderstatus": ["F"] * 3,
+                   "o_totalprice": [1.0] * 3,
+                   "o_orderdate": ["1995-01-01"] * 3,
+                   "o_orderpriority": ["1-URGENT"] * 3},
+        "lineitem": {"l_orderkey": [40, 41], "l_partkey": [30, 999],
+                     "l_suppkey": [20, 20], "l_linenumber": [1, 1],
+                     "l_quantity": [1.0, 1.0],
+                     "l_extendedprice": [1.0, 1.0],
+                     "l_discount": [0.0, 0.0], "l_tax": [0.0, 0.0],
+                     "l_returnflag": ["N", "N"],
+                     "l_linestatus": ["O", "O"],
+                     "l_shipdate": ["1995-02-01", "1995-02-01"]},
+    }
+    for t, cols in star.items():
+        pd.DataFrame(cols).to_parquet(f"{tmp_path}/{t}.parquet", index=False)
+    name = "q204_fk_orphans"
+    sdf = QUERIES[name](spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    for t in star:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'")
+    assert compare(sdf, con.sql(ORACLES[name]).fetchdf()) is None
+    by = sdf.set_index("relationship")
+    assert tuple(by.loc["orders.o_custkey->customer.c_custkey"]) == (3, 1)
+    assert tuple(by.loc["lineitem.l_partkey->part.p_partkey"]) == (2, 1)
+    assert int(by["n_orphans"].sum()) == 2
