@@ -3568,3 +3568,23 @@ def test_q204_fk_orphans_planted(spark, tmp_path):
     assert tuple(by.loc["orders.o_custkey->customer.c_custkey"]) == (3, 1)
     assert tuple(by.loc["lineitem.l_partkey->part.p_partkey"]) == (2, 1)
     assert int(by["n_orphans"].sum()) == 2
+
+
+def test_q205_embedding_integrity_planted(spark, tmp_path):
+    """One clean vector, one empty, one 3-dim, one NaN-poisoned, one
+    all-zero — each lands in exactly its own counter. The NaN element
+    arrives as a NULL list element through pandas->parquet (the exact
+    production failure shape), caught by the null-or-nan probe."""
+    clean = [0.1] * 64
+    nanv = [0.1] * 63 + [float("nan")]
+    d = _write_embeddings(
+        tmp_path,
+        [(0, clean, 1), (1, [], 1), (2, [0.1, 0.2, 0.3], 1),
+         (3, nanv, 1), (4, [0.0] * 64, 1), (5, clean, 2)],
+    )
+    name = "q205_embedding_integrity"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("label")
+    assert tuple(by.loc[1]) == (5, 1, 1, 1, 1)
+    assert tuple(by.loc[2]) == (1, 0, 0, 0, 0)
