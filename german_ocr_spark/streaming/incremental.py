@@ -646,3 +646,37 @@ def rocksdb_state(spark: SparkSession, changelog: bool = True):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def stream_enrich(
+    spark: SparkSession,
+    input_dir: str,
+    dim: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    on: str = "source",
+) -> StreamingQuery:
+    """Stream–static enrichment: join each arriving micro-batch of
+    documents against a static dimension (source metadata, quality
+    tiers, license flags) with a BROADCAST hash join — the standard
+    pattern for decorating a firehose with slowly-changing reference
+    data. Spark re-plans the static side every micro-batch, so a dim
+    refreshed between triggers applies to subsequent batches without
+    restarting the query (the stream side stays exactly-once via the
+    checkpoint; the test pins both properties). Map-only per batch —
+    no watermark, no state store — so append mode is safe and the
+    stream scales with the input rate alone; the reference analogue
+    is the model/metadata catalog lookup (A21, `cloud_client.py:313`)
+    applied per document."""
+    docs = spark.readStream.schema(
+        f"doc_id string, {on} string, ingest_ts timestamp, payload string"
+    ).parquet(input_dir)
+    enriched = docs.join(F.broadcast(dim), on, "left")
+    return (
+        enriched.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

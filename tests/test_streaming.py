@@ -460,3 +460,49 @@ def test_stream_dedup_with_rocksdb_state_store(spark, tmp_path):
         state_files
     )
     assert not any(f.endswith(".delta") for f in state_files)
+
+
+def test_stream_enrich_static_dim_refresh(spark, tmp_path):
+    """Stream-static broadcast enrichment: (a) the availableNow run
+    decorates every streamed doc exactly like the batch join; (b) a
+    dim refresh between runs applies to NEW files only — already-
+    checkpointed batches are not reprocessed (exactly-once on the
+    stream side), so the old rows keep their original tier."""
+    from german_ocr_spark.streaming.incremental import stream_enrich
+
+    inp = str(tmp_path / "en_in")
+    out = str(tmp_path / "en_out")
+    ckpt = str(tmp_path / "en_ckpt")
+    base = dt.datetime(2024, 5, 1, 9, 0, 0)
+    schema = "doc_id string, source string, ingest_ts timestamp, payload string"
+    rows1 = [(f"d{i}", f"src{i % 3}", base, f"p{i}") for i in range(30)]
+    spark.createDataFrame(rows1, schema).write.mode("overwrite").parquet(inp)
+    dim1 = spark.createDataFrame(
+        [("src0", "gold"), ("src1", "silver"), ("src2", "bronze")],
+        "source string, tier string",
+    )
+
+    q = stream_enrich(spark, inp, dim1, out, ckpt)
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() == 30
+    batch = spark.read.schema(schema).parquet(inp).join(dim1, "source", "left")
+    assert got.exceptAll(batch).isEmpty() and batch.exceptAll(got).isEmpty()
+
+    # refresh the dim, land one new file, re-run: only the new file
+    # is processed, and it sees the NEW tiers
+    rows2 = [(f"n{i}", "src0", base, "x") for i in range(5)]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(inp)
+    dim2 = spark.createDataFrame(
+        [("src0", "platinum"), ("src1", "silver"), ("src2", "bronze")],
+        "source string, tier string",
+    )
+    q2 = stream_enrich(spark, inp, dim2, out, ckpt)
+    q2.awaitTermination(300)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 35
+    new = got2.filter("doc_id like 'n%'")
+    assert new.count() == 5
+    assert {r.tier for r in new.select("tier").collect()} == {"platinum"}
+    old_src0 = got2.filter("doc_id like 'd%' and source = 'src0'")
+    assert {r.tier for r in old_src0.select("tier").collect()} == {"gold"}
