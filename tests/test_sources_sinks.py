@@ -137,3 +137,25 @@ def test_write_partitioned_dynamic_overwrite(spark, tmp_path):
     )
     assert "PartitionFilters: [" in plan
     assert "lang" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_orc_interchange_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC as the interchange format next to parquet/JSONL/CSV:
+    write_sink('orc') roundtrips the nested interleaved-span schema
+    (array<struct>) byte-for-byte, and a doc_id predicate reaches the
+    ORC scan as a pushed filter — the same scan-pruning contract the
+    parquet path relies on."""
+    from german_ocr_spark.sinks import write_sink
+
+    docs = docs_to_spark(spark, synth_docs(50, seed=7))
+    path = str(tmp_path / "docs_orc")
+    write_sink(docs, path, fmt="orc")
+    back = spark.read.orc(path)
+    # ORC loosens nullability flags; the logical shape must survive
+    assert back.schema.simpleString() == docs.schema.simpleString()
+    assert back.exceptAll(docs).isEmpty() and docs.exceptAll(back).isEmpty()
+    plan = (
+        back.filter(F.col("doc_id") == "doc-00000007")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "doc_id" in plan
