@@ -3588,3 +3588,18 @@ def test_q205_embedding_integrity_planted(spark, tmp_path):
     by = sdf.set_index("label")
     assert tuple(by.loc[1]) == (5, 1, 1, 1, 1)
     assert tuple(by.loc[2]) == (1, 0, 0, 0, 0)
+
+
+def test_q206_address_extract_hand_computed(spark, tmp_path):
+    """Doc 5 hits the leading-zero PLZ ('01185') AND the multi-word
+    city; doc 0 is the malformed cohort (no PLZ -> empty fields,
+    plz_ok 0); doc 7 carries the 8a-style house-letter suffix."""
+    d = _write_docs(tmp_path, [(i, "x", "de", "s") for i in (0, 5, 7)])
+    name = "q206_address_extract"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("doc_id")
+    assert tuple(by.loc[0]) == ("Hauptstraße", "1a", "", "", 0)
+    assert tuple(by.loc[5]) == (
+        "Berliner Allee", "6", "01185", "Frankfurt am Main", 1)
+    assert tuple(by.loc[7]) == ("Mozartweg", "8a", "01259", "Hamburg", 1)
