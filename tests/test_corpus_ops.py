@@ -3603,3 +3603,44 @@ def test_q206_address_extract_hand_computed(spark, tmp_path):
     assert tuple(by.loc[5]) == (
         "Berliner Allee", "6", "01185", "Frankfurt am Main", 1)
     assert tuple(by.loc[7]) == ("Mozartweg", "8a", "01259", "Hamburg", 1)
+
+
+def test_q207_rbo_integer_identity_vs_fractions():
+    """The integer suffix-weight formula IS truncated RBO: for random
+    rank-pair sets, sum(SUFFIX[max(ra,rb)]) * 1e6 // DEN equals
+    floor(1e6 * (1-p) Σ p^(d-1)·ov_d/d) computed in exact Fractions
+    (identical rankings -> 1 - p^10 = 651321 e6 exactly, the
+    truncated-RBO ceiling; disjoint top-10 -> 0)."""
+    import random
+    from fractions import Fraction
+
+    from german_ocr_spark.queries import RBO_DEPTH, _RBO_DEN, _RBO_SUFFIX
+
+    def brute(pairs):
+        p = Fraction(9, 10)
+        total = Fraction(0)
+        for dep in range(1, RBO_DEPTH + 1):
+            ov = sum(1 for ra, rb in pairs if max(ra, rb) <= dep)
+            total += (1 - p) * p ** (dep - 1) * Fraction(ov, dep)
+        return (total * 10**6).__floor__()
+
+    def integer(pairs):
+        num = sum(
+            _RBO_SUFFIX[max(ra, rb) - 1]
+            for ra, rb in pairs
+            if max(ra, rb) <= RBO_DEPTH
+        )
+        return num * 10**6 // _RBO_DEN
+
+    ident = [(i, i) for i in range(1, 31)]
+    # truncated RBO@10 ceiling: (1-p)·Σ p^(d-1) = 1 - (9/10)^10
+    assert integer(ident) == brute(ident) == 651321
+    rng = random.Random(7)
+    for _ in range(50):
+        n = rng.randint(1, 30)
+        perm_a = rng.sample(range(1, n + 1), n)
+        perm_b = rng.sample(range(1, n + 1), n)
+        pairs = list(zip(perm_a, perm_b))
+        assert integer(pairs) == brute(pairs)
+    disjoint = [(i, i + 10) for i in range(1, 11)]
+    assert integer(disjoint) == brute(disjoint)
