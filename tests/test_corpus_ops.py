@@ -3644,3 +3644,47 @@ def test_q207_rbo_integer_identity_vs_fractions():
         assert integer(pairs) == brute(pairs)
     disjoint = [(i, i + 10) for i in range(1, 11)]
     assert integer(disjoint) == brute(disjoint)
+
+
+def test_q208_ols_slope_matches_fraction_replica(spark, tmp_path):
+    """Algebra check: y comes from the shared quality_e4 formula (via
+    DuckDB on the same fixture), then slope/r² are re-derived in
+    exact Fractions with truncation-toward-zero — the query must
+    match digit for digit, including a NEGATIVE slope source where
+    longer docs carry more punctuation garbage."""
+    from fractions import Fraction
+
+    from german_ocr_spark.functions.textstats import quality_score_e4_sql
+
+    rows = [
+        (0, "der " * 10, "de", "up"),          # short, stopwordy
+        (1, "der " * 120, "de", "up"),         # long, stopwordy
+        (2, "kurz gut", "de", "down"),
+        (3, "wort " * 50 + "!!!!!!!!!!!!!!!!!!!!", "de", "down"),
+        (4, "wort " * 150 + "!" * 60, "de", "down"),
+    ]
+    d = _write_docs(tmp_path, rows)
+    name = "q208_ols_length_quality"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    ys = duckdb.sql(
+        f"SELECT source, n_chars, {quality_score_e4_sql('text')} AS y "
+        f"FROM '{tmp_path}/documents.parquet'"
+    ).fetchall()
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    by = sdf.set_index("source")
+    for src in ("up", "down"):
+        pts = [(x, y) for s, x, y in ys if s == src]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+        cxy, cxx, cyy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+        assert by.loc[src, "n_docs"] == n
+        assert by.loc[src, "slope_e9"] == trunc_div(cxy * 10**9, cxx)
+        assert by.loc[src, "r2_e6"] == trunc_div(cxy * cxy * 10**6, cxx * cyy)
+    assert by.loc["up", "slope_e9"] > 0
