@@ -3688,3 +3688,32 @@ def test_q208_ols_slope_matches_fraction_replica(spark, tmp_path):
         assert by.loc[src, "slope_e9"] == trunc_div(cxy * 10**9, cxx)
         assert by.loc[src, "r2_e6"] == trunc_div(cxy * cxy * 10**6, cxx * cyy)
     assert by.loc["up", "slope_e9"] > 0
+
+
+def test_q209_quality_keeper_policy(spark, tmp_path):
+    """Doc 0 re-enters padded (id 100000) with a higher quality score
+    (longer raw text) -> the quality policy keeps the PADDED copy
+    while min-id keeps doc 0, and gain_e4 = exactly the score
+    difference computed by the shared formula; identical-text group
+    ties break to the smaller id with zero gain."""
+    from german_ocr_spark.functions.textstats import quality_score_e4_sql
+
+    base = "wort " * 30 + "ende"
+    d = _write_docs(
+        tmp_path,
+        [(0, base, "de", "s"),          # re-crawled (0 % 7 == 0)
+         (3, "anders " * 25, "de", "s")],
+    )
+    name = "q209_quality_keeper"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    assert len(sdf) == 1  # only doc 0's group is a dup group
+    r = sdf.iloc[0]
+    qs = duckdb.sql(
+        f"SELECT {quality_score_e4_sql('t')} FROM (VALUES "
+        f"('{base}'), ('  {base}  ')) v(t)"
+    ).fetchall()
+    q_orig, q_pad = qs[0][0], qs[1][0]
+    assert q_pad > q_orig
+    assert (r.n_dups, r.keeper_doc, r.keeper_qe4, r.minid_doc, r.gain_e4) \
+        == (2, 100000, q_pad, 0, q_pad - q_orig)
