@@ -3717,3 +3717,25 @@ def test_q209_quality_keeper_policy(spark, tmp_path):
     assert q_pad > q_orig
     assert (r.n_dups, r.keeper_doc, r.keeper_qe4, r.minid_doc, r.gain_e4) \
         == (2, 100000, q_pad, 0, q_pad - q_orig)
+
+
+def test_q210_media_reuse_hand_computed(spark, tmp_path):
+    """Docs 0..4 produce 7 image spans (q195/q196's counts) whose
+    refs are hand-derived from (doc_id*31 + i*17) % 40; media/0.png
+    is hit by doc 0 (i=0) — shares are exact sevenths."""
+    d = _write_docs(tmp_path, [(i, "x", "de", "web") for i in range(5)])
+    name = "q210_media_reuse"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    # image positions per doc: d0:{0}, d1:{2}, d2:{1}, d3:{0,3}, d4:{2,5}
+    exp = {}
+    for doc, i in [(0, 0), (1, 2), (2, 1), (3, 0), (3, 3), (4, 2), (4, 5)]:
+        ref = f"media/{(doc * 31 + i * 17) % 40}.png"
+        exp[ref] = exp.get(ref, 0) + 1
+    got = dict(zip(sdf["media_ref"], sdf["n_docs"]))
+    assert got == exp
+    assert int(sdf["n_docs"].sum()) == 7
+    assert all(
+        sp == nd * 1000000 // 7
+        for nd, sp in zip(sdf["n_docs"], sdf["share_ppm"])
+    )
