@@ -1,0 +1,64 @@
+"""Grouped-map (``applyInPandas``) surface — the fourth Arrow UDF shape
+(B16) next to scalar ``pandas_udf`` (q109), ``mapInPandas`` (the
+extraction stage), and ``applyInPandasWithState`` (streaming
+sessionization).
+
+``mapInPandas`` sees arbitrary Arrow batches — a document's spans can
+straddle two batches — so kernels that need a WHOLE group in memory at
+once (XY-cut over all of a page's blocks, global renumbering of a
+document's reading order) belong in ``applyInPandas``: Spark shuffles
+on the group key and hands each group to the kernel complete. That
+shuffle is the price; prefer the relational/window form whenever the
+semantics allow (the parity test pins both forms to identical output),
+and reach for grouped-map only when the kernel is genuinely
+whole-group-at-a-time.
+
+Reference analogue: the per-document loop body of ``extract_batch``
+(``german_ocr/ocr.py:234-267``) — one document fully in hand per step.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RENUMBER_DDL = (
+    "doc_id string, `order` int, kind string, text string, "
+    "media_ref string, offset int"
+)
+
+
+def _renumber_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Whole-document reading-order repair: sort by (offset, kind,
+    media_ref) with a stable mergesort and assign dense 0-based
+    `order` — deterministic for any input permutation of the group."""
+    pdf = pdf.sort_values(
+        ["offset", "kind", "media_ref"], kind="mergesort"
+    ).reset_index(drop=True)
+    pdf["order"] = pd.Series(range(len(pdf)), dtype="int32")
+    return pdf[["doc_id", "order", "kind", "text", "media_ref", "offset"]]
+
+
+def renumber_grouped(spans: DataFrame) -> DataFrame:
+    """Reading-order renumber via ``applyInPandas`` — each doc's spans
+    arrive complete in one pandas frame (Spark groups on doc_id)."""
+    return spans.groupBy("doc_id").applyInPandas(
+        _renumber_kernel, schema=RENUMBER_DDL
+    )
+
+
+def renumber_relational(spans: DataFrame) -> DataFrame:
+    """The same semantics as a window — the formulation to PREFER: no
+    Python worker, and at 10^12 rows the window shuffle equals the
+    grouped-map shuffle without the Arrow transfer."""
+    w = Window.partitionBy("doc_id").orderBy("offset", "kind", "media_ref")
+    return spans.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("int").alias("order"),
+        "kind",
+        "text",
+        "media_ref",
+        "offset",
+    )

@@ -1,0 +1,61 @@
+"""applyInPandas (grouped-map) surface: whole-group kernels receive
+each document complete, and the grouped-map formulation is pinned
+row-for-row to the relational window form."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from german_ocr_spark.operators.grouped import (
+    renumber_grouped,
+    renumber_relational,
+)
+
+
+def _spans(spark):
+    rows = []
+    # doc a: shuffled offsets incl. a tie broken by (kind, media_ref)
+    rows += [
+        ("a", 9, "text", "t3", "", 30),
+        ("a", 0, "text", "t1", "", 10),
+        ("a", 5, "image", "", "m/1", 20),
+        ("a", 7, "text", "t2", "", 20),  # offset tie vs the image
+    ]
+    # doc b: single span
+    rows += [("b", 4, "pdf", "p", "", 0)]
+    # doc c: enough spans to span multiple Arrow batches if tiny
+    rows += [("c", i, "text", f"x{i}", "", 1000 - i) for i in range(50)]
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, `order` int, kind string, text string, "
+        "media_ref string, offset int",
+    )
+
+
+def test_grouped_map_matches_relational_window(spark):
+    spans = _spans(spark).repartition(8)  # groups straddle partitions
+    g = renumber_grouped(spans)
+    r = renumber_relational(spans)
+    assert g.exceptAll(r).isEmpty() and r.exceptAll(g).isEmpty()
+    a = (
+        g.filter("doc_id = 'a'")
+        .orderBy("order")
+        .select("order", "kind", "offset")
+        .collect()
+    )
+    # offset tie at 20: 'image' sorts before 'text'
+    assert [(x["order"], x.kind, x.offset) for x in a] == [
+        (0, "text", 10), (1, "image", 20), (2, "text", 20), (3, "text", 30)
+    ]
+    c = g.filter("doc_id = 'c'").orderBy("order").select("offset").collect()
+    assert [x.offset for x in c] == sorted(range(951, 1001))
+
+
+def test_grouped_map_kernel_sees_whole_group(spark):
+    """Each kernel invocation must receive ALL of a doc's spans — the
+    property mapInPandas cannot guarantee. Orders are dense 0..n-1
+    per doc, which only a whole-group kernel can emit."""
+    spans = _spans(spark).repartition(16)
+    g = renumber_grouped(spans).toPandas()
+    for doc, grp in g.groupby("doc_id"):
+        assert sorted(grp["order"]) == list(range(len(grp)))
