@@ -108,6 +108,26 @@ PINNED = {
     "q175_decay_activity": 2,  # user x hour hash agg + the user_id
     # window exchange; the final groupBy(user_id) reuses the window's
     # partitioning (no third shuffle)
+    "q195_interleave_profile": 1,  # spans analyzed in-row; one 5-row
+    # cohort agg
+    "q196_caption_coverage": 1,  # in-row neighbor inspection; one
+    # sources-sized agg
+    "q197_watermark_audit": 2,  # (type, delay) histogram agg + the
+    # event_type window over histogram cells
+    "q199_rendezvous_rebalance": 2,  # in-row double argmax; 64-row
+    # (before, after) grid agg + the 8-row report agg
+    "q200_code_switching": 1,  # two langid passes in one codegen map;
+    # one (lang, source) agg
+    "q203_mad_outliers": 6,  # post-localCheckpoint count: the ONE
+    # corpus histogram agg happens at checkpoint time; these six are
+    # all histogram-sized (CDF windows, deviation agg, report agg)
+    "q205_embedding_integrity": 1,  # in-row array predicates; one
+    # label-sized agg
+    "q206_address_extract": 0,  # map-only codegen regex pass
+    "q208_ols_length_quality": 1,  # one sources-sized agg of five
+    # DECIMAL sufficient sums; slope algebra on the sources relation
+    "q209_quality_keeper": 1,  # the q17 fingerprint shuffle — packed
+    # keys fold argmax + min-id into the same aggregate
 }
 
 
