@@ -3739,3 +3739,34 @@ def test_q210_media_reuse_hand_computed(spark, tmp_path):
         sp == nd * 1000000 // 7
         for nd, sp in zip(sdf["n_docs"], sdf["share_ppm"])
     )
+
+
+def test_q211_multimodal_packing_hand_computed(spark, tmp_path):
+    """Docs 0..4 single-lane? No — lanes are salted; instead assert
+    per-doc costs exactly (text tokens + images*64 from the q195/q196
+    image counts 1,1,1,2,2), lane-local cumulative packing (offsets
+    advance by cost in doc_id order within each lane), and that
+    media_cost_ppm is the exact scaled share."""
+    from german_ocr_spark.queries import IMG_TOKEN_COST, PACK_CAP
+
+    d = _write_docs(
+        tmp_path,
+        [(i, "w " * 10 + "x", "de", "s") for i in range(5)],  # 11 tokens
+    )
+    name = "q211_multimodal_packing"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    imgs = {0: 1, 1: 1, 2: 1, 3: 2, 4: 2}
+    by = sdf.set_index("doc_id")
+    for doc, m in imgs.items():
+        cost = 11 + m * IMG_TOKEN_COST
+        assert by.loc[doc, "cost"] == cost
+        assert by.loc[doc, "n_media"] == m
+        assert by.loc[doc, "media_cost_ppm"] == \
+            m * IMG_TOKEN_COST * 1000000 // cost
+    for lane, grp in sdf.sort_values("doc_id").groupby("lane"):
+        cum = 0
+        for r in grp.itertuples():
+            assert (r.seq_id, r.seq_offset) == (cum // PACK_CAP,
+                                                cum % PACK_CAP)
+            cum += r.cost
