@@ -3770,3 +3770,21 @@ def test_q211_multimodal_packing_hand_computed(spark, tmp_path):
             assert (r.seq_id, r.seq_offset) == (cum // PACK_CAP,
                                                 cum % PACK_CAP)
             cum += r.cost
+
+
+def test_q212_lm_backtest_hand_computed(spark, tmp_path):
+    """Train half = doc 0 'aaab' (counts aa:2 ab:1, t=3 -> bits aa=0,
+    ab=1, OOV=2). Eval doc 1 'aabz': bigrams aa/ab/bz -> 1 OOV of 3
+    (333333 ppm), total 3 bits -> 1000 e3/bigram. Eval doc 3 'aaaa':
+    all aa -> zero cost, zero OOV."""
+    d = _write_docs(
+        tmp_path,
+        [(0, "aaab", "de", "s"), (1, "aabz", "de", "s"),
+         (3, "aaaa", "en", "s")],
+    )
+    name = "q212_lm_backtest"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("lang")
+    assert tuple(by.loc["de"]) == (1, 3, 333333, 1000)
+    assert tuple(by.loc["en"]) == (1, 3, 0, 0)
