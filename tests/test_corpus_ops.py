@@ -3788,3 +3788,24 @@ def test_q212_lm_backtest_hand_computed(spark, tmp_path):
     by = sdf.set_index("lang")
     assert tuple(by.loc["de"]) == (1, 3, 333333, 1000)
     assert tuple(by.loc["en"]) == (1, 3, 0, 0)
+
+
+def test_q213_funnel_latency_hand_computed(spark, tmp_path):
+    """User 1 converts twice: 5.5 min after a view (bucket 5) and 30
+    min after the LATEST of two views (not the first). User 2's
+    viewless purchase is excluded. p50=5, p90=30 by the integer rank
+    rules."""
+    rows = [
+        (0, "2024-01-01T10:00:00", 1, "view", 0.0),
+        (1, "2024-01-01T10:05:30", 1, "purchase", 1.0),
+        (2, "2024-01-01T11:00:00", 1, "view", 0.0),
+        (3, "2024-01-01T11:30:00", 1, "view", 0.0),
+        (4, "2024-01-01T12:00:00", 1, "purchase", 1.0),
+        (5, "2024-01-01T09:00:00", 2, "purchase", 1.0),
+        (6, "2024-01-01T09:30:00", 2, "click", 0.0),
+    ]
+    d = _write_events(tmp_path, rows)
+    name = "q213_funnel_latency"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    assert tuple(sdf.iloc[0]) == (2, 5, 30, 30)
