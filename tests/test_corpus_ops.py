@@ -3809,3 +3809,27 @@ def test_q213_funnel_latency_hand_computed(spark, tmp_path):
     sdf = QUERIES[name](spark, d).toPandas()
     assert compare(sdf, _oracle(d, name)) is None
     assert tuple(sdf.iloc[0]) == (2, 5, 30, 30)
+
+
+def test_q214_license_bom_planted(spark, tmp_path):
+    """Four sources map to the four license classes by suffix % 4;
+    within-shard shares are exact and restricted cells carry the
+    flag. Doc ids chosen so placement is irrelevant to the asserts
+    (we roll the report up over shards)."""
+    d = _write_docs(
+        tmp_path,
+        [(i, "x" * (i + 1), "de", f"src{i % 8}") for i in range(16)],
+    )
+    name = "q214_license_bom"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by_lic = sdf.groupby("license")[["n_docs", "n_chars"]].sum()
+    # src0/src4 -> permissive, src1/src5 -> attribution, etc.: 4 docs each
+    for lic in ("permissive", "attribution", "research-only", "restricted"):
+        assert by_lic.loc[lic, "n_docs"] == 4
+    assert set(sdf[sdf.license == "restricted"]["flag_restricted"]) == {1}
+    assert set(sdf[sdf.license != "restricted"]["flag_restricted"]) == {0}
+    for _, grp in sdf.groupby("shard"):
+        t = grp["n_docs"].sum()
+        for r in grp.itertuples():
+            assert r.share_ppm == r.n_docs * 1000000 // t
