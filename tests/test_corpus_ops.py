@@ -3950,3 +3950,22 @@ def test_q218_batch_padding_gain_hand_computed(spark, tmp_path):
     assert r.arrival_waste == waste(lambda i: i)
     assert r.sorted_waste == waste(lambda i: (nts[i], i))
     assert r.sorted_waste < r.arrival_waste
+
+
+def test_q219_lexical_richness_hand_computed(spark, tmp_path):
+    """Source 'tmpl' repeats one 3-word template 4x -> 12 tokens, 3
+    types (TTR 250000), zero hapax; source 'rich' is 6 distinct words
+    with one repeat -> 7 tokens, 6 types, 5 hapaxes."""
+    d = _write_docs(
+        tmp_path,
+        [(0, "a b c", "de", "tmpl"), (1, "a b c", "de", "tmpl"),
+         (2, "a b c a b c", "de", "tmpl"),
+         (3, "u v w x y z u", "de", "rich")],
+    )
+    name = "q219_lexical_richness"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("source")
+    assert tuple(by.loc["tmpl"]) == (12, 3, 250000, 0, 0)
+    assert tuple(by.loc["rich"]) == (
+        7, 6, 6 * 1000000 // 7, 5, 5 * 1000000 // 6)
