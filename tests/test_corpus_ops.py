@@ -3969,3 +3969,27 @@ def test_q219_lexical_richness_hand_computed(spark, tmp_path):
     assert tuple(by.loc["tmpl"]) == (12, 3, 250000, 0, 0)
     assert tuple(by.loc["rich"]) == (
         7, 6, 6 * 1000000 // 7, 5, 5 * 1000000 // 6)
+
+
+def test_q220_cluster_separation_hand_computed(spark, tmp_path):
+    """Label 1: two points at ±0.5 on axis 0 -> centroid origin,
+    intra = 0.25 exactly (250000 f6). Label 2: two coincident points
+    at 2.0 on axis 1 -> intra 0. Centroid d2 = 4 + 0 = wait —
+    d2(c1, c2) = 0² + 2² = 4.0 -> 4000000 f6 for both labels;
+    separation label1 = 4/0.25 = 16000 e3, label2 intra 0 -> guard 0."""
+    def vec(axis, val):
+        v = [0.0] * 64
+        v[axis] = val
+        return v
+
+    d = _write_embeddings(
+        tmp_path,
+        [(0, vec(0, 0.5), 1), (1, vec(0, -0.5), 1),
+         (2, vec(1, 2.0), 2), (3, vec(1, 2.0), 2)],
+    )
+    name = "q220_cluster_separation"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("label")
+    assert tuple(by.loc[1]) == (2, 250000, 2, 4000000, 16000)
+    assert tuple(by.loc[2]) == (2, 0, 1, 4000000, 0)
