@@ -3993,3 +3993,21 @@ def test_q220_cluster_separation_hand_computed(spark, tmp_path):
     by = sdf.set_index("label")
     assert tuple(by.loc[1]) == (2, 250000, 2, 4000000, 16000)
     assert tuple(by.loc[2]) == (2, 0, 1, 4000000, 0)
+
+
+def test_q221_cross_span_healing_hand_computed(spark, tmp_path):
+    """Doc 0 (split cohort): 'versicherung nummer kunde' cuts at the
+    middle word with 'num-'/'mer' across the boundary and heals back
+    exactly. Doc 1 (clean cohort): space-join path round-trips too.
+    Doc 2 has < 3 words -> excluded."""
+    d = _write_docs(
+        tmp_path,
+        [(0, "versicherung nummer kunde", "de", "s"),
+         (1, "alpha beta gamma delta", "de", "s"),
+         (2, "zu kurz", "de", "s")],
+    )
+    name = "q221_cross_span_healing"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    r = sdf.iloc[0]
+    assert (r.n_docs, r.n_hyphen_boundaries, r.n_round_trip_ok) == (2, 1, 2)
