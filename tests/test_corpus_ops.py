@@ -4011,3 +4011,25 @@ def test_q221_cross_span_healing_hand_computed(spark, tmp_path):
     assert compare(sdf, _oracle(d, name)) is None
     r = sdf.iloc[0]
     assert (r.n_docs, r.n_hyphen_boundaries, r.n_round_trip_ok) == (2, 1, 2)
+
+
+def test_q222_burst_collapse_hand_computed(spark, tmp_path):
+    """User 1 clicks at 0/3/6/20 s: the 3 s and 6 s events chain-
+    collapse onto the 0 s head (each within 5 s of its predecessor),
+    20 s starts a new island -> 2 kept / 2 dropped. Other keys
+    (purchase, user 2) are independent heads."""
+    rows = [
+        (0, "2024-01-01T10:00:00", 1, "click", 0.0),
+        (1, "2024-01-01T10:00:03", 1, "click", 0.0),
+        (2, "2024-01-01T10:00:06", 1, "click", 0.0),
+        (3, "2024-01-01T10:00:20", 1, "click", 0.0),
+        (4, "2024-01-01T10:00:01", 1, "purchase", 1.0),
+        (5, "2024-01-01T10:00:02", 2, "click", 0.0),
+    ]
+    d = _write_events(tmp_path, rows)
+    name = "q222_burst_collapse"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("event_type")
+    assert tuple(by.loc["click"]) == (5, 3, 2, 400000)
+    assert tuple(by.loc["purchase"]) == (1, 1, 0, 0)
