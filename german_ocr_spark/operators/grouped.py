@@ -62,3 +62,59 @@ def renumber_relational(spans: DataFrame) -> DataFrame:
         "media_ref",
         "offset",
     )
+
+
+def trimmed_mean_udaf():
+    """Grouped-aggregate ``pandas_udf`` — the fifth Arrow surface
+    (scalar, grouped-map, map-iter, stateful, and THIS): a whole
+    group's column arrives as one pandas Series and returns one
+    scalar. Example aggregate: the 20%-trimmed mean (drop the lowest
+    and highest decile COUNT, floor-rounded) — order-insensitive and
+    deterministic, so it is a legal Spark aggregate.
+
+    Like every Python surface here it is the slow path: the parity
+    test pins it row-for-row against the pure-relational window
+    formulation (`trimmed_mean_relational`), which is what production
+    uses; the UDAF exists for aggregates with no relational spelling."""
+    import pandas as pd  # noqa: F401
+
+    @F.pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        s = v.sort_values(kind="mergesort").reset_index(drop=True)
+        k = len(s) // 10
+        kept = s.iloc[k: len(s) - k] if len(s) > 2 * k else s
+        return float(kept.sum()) / len(kept)
+
+    return trimmed_mean
+
+
+def trimmed_mean_grouped(df: DataFrame, key: str, col: str) -> DataFrame:
+    """groupBy(key).agg(UDAF) — Arrow grouped aggregation."""
+    return df.groupBy(key).agg(
+        trimmed_mean_udaf()(F.col(col)).alias("trimmed_mean")
+    )
+
+
+def trimmed_mean_relational(df: DataFrame, key: str, col: str) -> DataFrame:
+    """The same aggregate in pure relational form: rank within the
+    group from both ends, drop the bottom/top n//10 rows, average the
+    rest. One window shuffle + the group aggregate — the formulation
+    to PREFER (no Python workers)."""
+    w = Window.partitionBy(key).orderBy(F.col(col).asc())
+    wn = Window.partitionBy(key)
+    ranked = df.select(
+        key,
+        F.col(col).alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("n") <= 2 * (F.col("n") / 10).cast("int"))
+        | (
+            (F.col("rn") > (F.col("n") / 10).cast("int"))
+            & (F.col("rn") <= F.col("n") - (F.col("n") / 10).cast("int"))
+        )
+    )
+    return kept.groupBy(key).agg(
+        (F.sum("v") / F.count("*")).alias("trimmed_mean")
+    )

@@ -59,3 +59,32 @@ def test_grouped_map_kernel_sees_whole_group(spark):
     g = renumber_grouped(spans).toPandas()
     for doc, grp in g.groupby("doc_id"):
         assert sorted(grp["order"]) == list(range(len(grp)))
+
+
+def test_grouped_agg_udaf_matches_relational(spark):
+    """The grouped-aggregate pandas_udf (Arrow UDAF surface) equals
+    the pure-relational window formulation on skewed groups, tied
+    values, and groups too small to trim."""
+    from pyspark.sql import functions as F
+
+    from german_ocr_spark.operators.grouped import (
+        trimmed_mean_grouped,
+        trimmed_mean_relational,
+    )
+
+    rows = (
+        [("a", float(v)) for v in [1, 1, 1, 2, 3, 3, 50, 50, 900, 900, 900, 7]]
+        + [("b", 5.0)]                       # singleton: no trimming
+        + [("c", float(v)) for v in range(25)]
+    )
+    df = spark.createDataFrame(rows, "k string, v double").repartition(7)
+    a = {r.k: r.trimmed_mean for r in trimmed_mean_grouped(df, "k", "v").collect()}
+    b = {r.k: r.trimmed_mean
+         for r in trimmed_mean_relational(df, "k", "v").collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12, k
+    # group a: n=12, trim 1 from each end -> drop one 1 and one 900
+    assert abs(a["a"] - (sum([1, 1, 2, 3, 3, 50, 50, 900, 900, 7]) / 10)) \
+        < 1e-12
+    assert a["b"] == 5.0
