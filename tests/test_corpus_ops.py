@@ -4033,3 +4033,28 @@ def test_q222_burst_collapse_hand_computed(spark, tmp_path):
     by = sdf.set_index("event_type")
     assert tuple(by.loc["click"]) == (5, 3, 2, 400000)
     assert tuple(by.loc["purchase"]) == (1, 1, 0, 0)
+
+
+def test_q223_diurnal_profile_hand_computed(spark, tmp_path):
+    """Three days; hour 9 sees counts 2/5/100 -> p50 5, p95 100;
+    hour 3 is silent on two of three days -> counts {0,0,4}: the
+    gap-fill makes p50 = 0 (without it the silent hours would
+    vanish and p50 would read 4)."""
+    rows = []
+    eid = 0
+    for day, n in (("01", 2), ("02", 5), ("03", 100)):
+        for i in range(n):
+            rows.append((eid, f"2024-01-{day}T09:30:00", 1, "view", 0.0))
+            eid += 1
+    for i in range(4):
+        rows.append((eid, "2024-01-02T03:10:00", 1, "view", 0.0))
+        eid += 1
+    d = _write_events(tmp_path, rows)
+    name = "q223_diurnal_profile"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("hour_of_day")
+    assert len(sdf) == 24
+    assert tuple(by.loc[9]) == (3, 5, 100, 100)
+    assert tuple(by.loc[3]) == (3, 0, 4, 4)
+    assert tuple(by.loc[0]) == (3, 0, 0, 0)  # fully silent hour
