@@ -4058,3 +4058,19 @@ def test_q223_diurnal_profile_hand_computed(spark, tmp_path):
     assert tuple(by.loc[9]) == (3, 5, 100, 100)
     assert tuple(by.loc[3]) == (3, 0, 4, 4)
     assert tuple(by.loc[0]) == (3, 0, 0, 0)  # fully silent hour
+
+
+def test_q224_media_evidence_dedup_planted(spark, tmp_path):
+    """Doc 14's re-crawl shares its 2 image refs -> the one reported
+    pair; doc 0's re-crawl shares only 1 ref (below MEDIA_MATCH_MIN)
+    and docs 3/5 have no re-crawl — all excluded."""
+    d = _write_docs(
+        tmp_path,
+        [(i, "text egal", "de", "s") for i in (0, 3, 5, 14)],
+    )
+    name = "q224_media_evidence_dedup"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    assert [tuple(r) for r in sdf.itertuples(index=False)] == [
+        (14, 100014, 2)
+    ]
