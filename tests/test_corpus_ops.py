@@ -4074,3 +4074,16 @@ def test_q224_media_evidence_dedup_planted(spark, tmp_path):
     assert [tuple(r) for r in sdf.itertuples(index=False)] == [
         (14, 100014, 2)
     ]
+
+
+def test_q225_hotlink_audit_hand_computed(spark, tmp_path):
+    """Of the 7 image spans on docs 0..4, only (doc 0, i 0) satisfies
+    the CDN residue rule -> 1 hotlink, 142857 ppm, one hotlinking
+    doc; mixed-case source exercises the host lowering."""
+    d = _write_docs(tmp_path, [(i, "x", "de", "Web") for i in range(5)])
+    name = "q225_hotlink_audit"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    r = sdf.iloc[0]
+    assert (r.n_images, r.n_hotlinked, r.hotlink_ppm,
+            r.n_docs_hotlinking) == (7, 1, 142857, 1)
