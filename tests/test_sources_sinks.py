@@ -159,3 +159,33 @@ def test_orc_interchange_roundtrip_with_pushdown(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [" in plan and "doc_id" in plan
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """A corpus written across code generations: old files lack the
+    `quality` column, new files carry it. mergeSchema reads both
+    generations into one frame — old rows surface NULL quality — and
+    a filter on the evolved column still prunes via pushdown. This is
+    the add-a-column evolution path a long-lived span table needs
+    without Iceberg."""
+    import pandas as pd
+
+    old = pd.DataFrame(
+        {"doc_id": ["a", "b"], "text": ["t1", "t2"]}
+    )
+    new = pd.DataFrame(
+        {"doc_id": ["c", "d"], "text": ["t3", "t4"],
+         "quality": [0.9, 0.2]}
+    )
+    path = tmp_path / "evolved"
+    path.mkdir()
+    old.to_parquet(str(path / "part-gen1.parquet"), index=False)
+    new.to_parquet(str(path / "part-gen2.parquet"), index=False)
+
+    df = spark.read.option("mergeSchema", "true").parquet(str(path))
+    assert set(df.columns) == {"doc_id", "text", "quality"}
+    rows = {r.doc_id: r.quality for r in df.collect()}
+    assert rows["a"] is None and rows["b"] is None
+    assert abs(rows["c"] - 0.9) < 1e-12
+    good = df.filter("quality > 0.5")
+    assert [r.doc_id for r in good.collect()] == ["c"]
