@@ -4087,3 +4087,19 @@ def test_q225_hotlink_audit_hand_computed(spark, tmp_path):
     r = sdf.iloc[0]
     assert (r.n_images, r.n_hotlinked, r.hotlink_ppm,
             r.n_docs_hotlinking) == (7, 1, 142857, 1)
+
+
+def test_q226_user_concentration_hand_computed(spark, tmp_path):
+    """5 users, one bot with 96 of 104 events: k = max(5//100,1) = 1,
+    top share = 96/104 -> 923076 ppm exactly."""
+    rows = []
+    eid = 0
+    for u, n in ((1, 96), (2, 2), (3, 2), (4, 2), (5, 2)):
+        for _ in range(n):
+            rows.append((eid, "2024-01-01T00:00:00", u, "view", 0.0))
+            eid += 1
+    d = _write_events(tmp_path, rows)
+    name = "q226_user_concentration"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    assert tuple(sdf.iloc[0]) == (5, 1, 96, 104, 923076)
