@@ -4103,3 +4103,21 @@ def test_q226_user_concentration_hand_computed(spark, tmp_path):
     sdf = QUERIES[name](spark, d).toPandas()
     assert compare(sdf, _oracle(d, name)) is None
     assert tuple(sdf.iloc[0]) == (5, 1, 96, 104, 923076)
+
+
+def test_q227_ocr_artifact_density_planted(spark, tmp_path):
+    """Doc 0 (damage cohort) gets 'schnell schon' -> two fch
+    artifacts and ' und ' -> ' nnd '; the normalizer repairs it so
+    clean != raw. Doc 1 is already clean ASCII with no rule hits ->
+    untouched. One dirty of two -> 500000 ppm."""
+    d = _write_docs(
+        tmp_path,
+        [(0, "schnell und schon da", "de", "s"),
+         (1, "alles bestens hier", "de", "s")],
+    )
+    name = "q227_ocr_artifact_density"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    r = sdf.iloc[0]
+    assert (r.n_docs, r.n_dirty_docs, r.n_fch_artifacts, r.dirty_ppm) \
+        == (2, 1, 2, 500000)
