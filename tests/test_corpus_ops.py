@@ -4121,3 +4121,43 @@ def test_q227_ocr_artifact_density_planted(spark, tmp_path):
     r = sdf.iloc[0]
     assert (r.n_docs, r.n_dirty_docs, r.n_fch_artifacts, r.dirty_ppm) \
         == (2, 1, 2, 500000)
+
+
+def test_q228_posting_cap_regimes(spark, tmp_path):
+    """(a) Below the cap nothing truncates: capped == full, overlap
+    1e6, top-1 agrees. (b) The WAND failure mode, planted: 20
+    single-term specialists per term out-rank a 3-term generalist in
+    EVERY per-term posting list, so the generalist — the FULL
+    ranking's #1 by summed score — scores 0 in the capped index and
+    vanishes: overlap 900000, top-1 disagrees."""
+    from german_ocr_spark.queries import PCAP_N
+
+    name = "q228_posting_cap_audit"
+    # (a) small corpus, cap inactive
+    d = _write_docs(
+        tmp_path / "a" if False else tmp_path,
+        [(i, f"vector join customer filler{i}", "de", "s")
+         for i in range(5)],
+    )
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    assert tuple(sdf.iloc[0]) == (10, 5, 1000000, 1)
+
+    # (b) specialists swamp every posting list
+    import pathlib
+    b = pathlib.Path(str(tmp_path)) / "b"
+    b.mkdir()
+    rows = []
+    did = 0
+    for term in ("vector", "join", "customer"):
+        for _ in range(PCAP_N):
+            rows.append((did, (term + " ") * 5 + "x y z w v", "de", "s"))
+            did += 1
+    rows.append((did, "vector join customer a b c d e f", "de", "s"))
+    d2 = _write_docs(b, rows)
+    sdf2 = QUERIES[name](spark, d2).toPandas()
+    assert compare(sdf2, _oracle(d2, name)) is None
+    r = sdf2.iloc[0]
+    assert r.n_candidates == 3 * PCAP_N + 1
+    assert r.overlap_ppm == 900000
+    assert r.top1_match == 0
