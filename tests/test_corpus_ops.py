@@ -4161,3 +4161,25 @@ def test_q228_posting_cap_regimes(spark, tmp_path):
     assert r.n_candidates == 3 * PCAP_N + 1
     assert r.overlap_ppm == 900000
     assert r.top1_match == 0
+
+
+def test_q229_langid_confusion_hand_computed(spark, tmp_path):
+    """Declared 'de': 2 correctly German, 1 English-content mislabel,
+    1 stopword-free unknown -> row shares 500000/250000/250000;
+    declared 'en' doc detected as en -> diagonal."""
+    g = "der die das und ist hier"
+    e = "the and is not with that"
+    x = "qqq www rrr ttt"
+    d = _write_docs(
+        tmp_path,
+        [(0, g, "de", "s"), (1, g, "de", "s"), (2, e, "de", "s"),
+         (3, x, "de", "s"), (4, e, "en", "s")],
+    )
+    name = "q229_langid_confusion"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index(["declared", "predicted"])
+    assert tuple(by.loc[("de", "de")]) == (2, 500000, 1)
+    assert tuple(by.loc[("de", "en")]) == (1, 250000, 0)
+    assert tuple(by.loc[("de", "unknown")]) == (1, 250000, 0)
+    assert tuple(by.loc[("en", "en")]) == (1, 1000000, 1)
