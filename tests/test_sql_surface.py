@@ -46,3 +46,37 @@ def test_sql_route_pushes_filter_and_partial_agg(spark):
     # filter reaches the parquet scan; aggregate is two-phase
     assert "PushedFilters: [" in plan and "l_shipdate" in plan
     assert "partial_" in plan  # map-side partial aggregation
+
+
+def test_null_safe_join_semantics(spark):
+    """NULL join keys: a plain equi-join silently DROPS null-keyed
+    rows (NULL = NULL is not true), the null-safe operator <=>
+    matches them — the difference between losing unattributed docs
+    and keeping them through a dimension join. Both behaviors pinned
+    so neither regresses silently."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [("a", "h1"), ("b", None), ("c", "h2")], "doc string, host string"
+    )
+    dim = spark.createDataFrame(
+        [("h1", "good"), (None, "unattributed"), ("h2", "bad")],
+        "host string, verdict string",
+    )
+    plain = left.join(dim, "host").select("doc", "verdict")
+    assert {r.doc for r in plain.collect()} == {"a", "c"}  # b dropped
+    safe = left.join(dim, left.host.eqNullSafe(dim.host)).select(
+        "doc", "verdict"
+    )
+    rows = {r.doc: r.verdict for r in safe.collect()}
+    assert rows == {"a": "good", "b": "unattributed", "c": "bad"}
+    # same via SQL text
+    left.createOrReplaceTempView("l")
+    dim.createOrReplaceTempView("r")
+    sql_rows = {
+        r.doc: r.verdict
+        for r in spark.sql(
+            "SELECT doc, verdict FROM l JOIN r ON l.host <=> r.host"
+        ).collect()
+    }
+    assert sql_rows == rows
