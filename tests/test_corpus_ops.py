@@ -4183,3 +4183,16 @@ def test_q229_langid_confusion_hand_computed(spark, tmp_path):
     assert tuple(by.loc[("de", "en")]) == (1, 250000, 0)
     assert tuple(by.loc[("de", "unknown")]) == (1, 250000, 0)
     assert tuple(by.loc[("en", "en")]) == (1, 1000000, 1)
+
+
+def test_q230_offset_rebase_hand_computed(spark, tmp_path):
+    """Doc 0 (plant cohort): span 1's offset collides into span 0 ->
+    one violation; rebase yields 0/5 and doc_len 21. Doc 1 is clean
+    with doc_len 8+19+10 = 37. rebased_ok everywhere."""
+    d = _write_docs(tmp_path, [(0, "x", "de", "s"), (1, "x", "de", "s")])
+    name = "q230_offset_rebase"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("doc_id")
+    assert tuple(by.loc[0]) == (2, 1, 21, 1)
+    assert tuple(by.loc[1]) == (3, 0, 37, 1)
