@@ -4241,3 +4241,32 @@ def test_q231_content_checksum_properties(spark, tmp_path):
     r3 = QUERIES[name](spark, d3).toPandas()
     assert int(r3.iloc[0].xor_fp) != x or int(r3.iloc[0].sum_fp) != sm
     assert int(r3.iloc[0].sum_fp) != sm  # sum catches the doubled row
+
+
+def test_q232_source_scorecard_gates(spark, tmp_path):
+    """Source 'good' (long stopword-rich unique docs) passes all four
+    gates; 'dupy' fails ONLY the dup gate (its docs are one repeated
+    text: dup 500000 ppm > cap, TTR low too); 'pii' fails the PII
+    gate (every doc has an email)."""
+    good = [
+        (i, "der die das und ist nicht ein mit von zu "
+            + " ".join(f"wort{i}n{j}" for j in range(60)), "de", "good")
+        for i in range(4)
+    ]
+    dupy = [(10 + i, "gleich gleich text", "de", "dupy") for i in range(4)]
+    piis = [
+        (20 + i, "der die das und ist kontakt "
+            + " ".join(f"p{i}w{j}" for j in range(60))
+            + f" mail{i}@firma.de", "de", "pii")
+        for i in range(4)
+    ]
+    d = _write_docs(tmp_path, good + dupy + piis)
+    name = "q232_source_scorecard"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    by = sdf.set_index("source")
+    assert by.loc["good", "admitted"] == 1
+    assert by.loc["dupy", "admitted"] == 0
+    assert by.loc["dupy", "dup_ppm"] == 750000  # 4 copies -> 3 dropped
+    assert by.loc["pii", "admitted"] == 0
+    assert by.loc["pii", "pii_ppm"] == 1000000
