@@ -84,4 +84,12 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Reliable-materialization seam (materialize.py): when set, every
+    # df.transform(materialize) in the engine uses fault-tolerant
+    # checkpoint() against this directory (HDFS/S3 on a cluster)
+    # instead of executor-pinned localCheckpoint(). One knob flips the
+    # whole engine.
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt and spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(ckpt)
     return spark
