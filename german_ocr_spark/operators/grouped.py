@@ -72,6 +72,15 @@ def trimmed_mean_udaf():
     and highest decile COUNT, floor-rounded) — order-insensitive and
     deterministic, so it is a legal Spark aggregate.
 
+    NULL and NaN values are EXCLUDED from the aggregate (dropna before
+    trimming) — both forms apply the same rule, and both drop groups
+    whose values are all null/NaN (the relational filter removes those
+    rows before the groupBy, and `trimmed_mean_grouped` applies the
+    identical pre-filter so the two forms stay row-for-row equal;
+    without it pandas' NaN-last sort vs Spark's nulls-first window
+    would trim DIFFERENT rows and len() vs count(*) would disagree on
+    the denominator).
+
     Like every Python surface here it is the slow path: the parity
     test pins it row-for-row against the pure-relational window
     formulation (`trimmed_mean_relational`), which is what production
@@ -80,7 +89,9 @@ def trimmed_mean_udaf():
 
     @F.pandas_udf("double")
     def trimmed_mean(v: pd.Series) -> float:
-        s = v.sort_values(kind="mergesort").reset_index(drop=True)
+        s = v.dropna().sort_values(kind="mergesort").reset_index(drop=True)
+        if len(s) == 0:
+            return None
         k = len(s) // 10
         kept = s.iloc[k: len(s) - k] if len(s) > 2 * k else s
         return float(kept.sum()) / len(kept)
@@ -88,9 +99,16 @@ def trimmed_mean_udaf():
     return trimmed_mean
 
 
+def _drop_null_nan(df: DataFrame, col: str) -> DataFrame:
+    """Shared null/NaN pre-filter so UDAF and relational trimmed-mean
+    see the identical row set (and all-null groups vanish in both)."""
+    c = F.col(col).cast("double")
+    return df.filter(c.isNotNull() & ~F.isnan(c))
+
+
 def trimmed_mean_grouped(df: DataFrame, key: str, col: str) -> DataFrame:
     """groupBy(key).agg(UDAF) — Arrow grouped aggregation."""
-    return df.groupBy(key).agg(
+    return _drop_null_nan(df, col).groupBy(key).agg(
         trimmed_mean_udaf()(F.col(col)).alias("trimmed_mean")
     )
 
@@ -99,7 +117,9 @@ def trimmed_mean_relational(df: DataFrame, key: str, col: str) -> DataFrame:
     """The same aggregate in pure relational form: rank within the
     group from both ends, drop the bottom/top n//10 rows, average the
     rest. One window shuffle + the group aggregate — the formulation
-    to PREFER (no Python workers)."""
+    to PREFER (no Python workers). Null/NaN rows are dropped first
+    (same rule as the UDAF form)."""
+    df = _drop_null_nan(df, col)
     w = Window.partitionBy(key).orderBy(F.col(col).asc())
     wn = Window.partitionBy(key)
     ranked = df.select(

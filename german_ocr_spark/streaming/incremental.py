@@ -660,10 +660,18 @@ def stream_enrich(
     documents against a static dimension (source metadata, quality
     tiers, license flags) with a BROADCAST hash join — the standard
     pattern for decorating a firehose with slowly-changing reference
-    data. Spark re-plans the static side every micro-batch, so a dim
-    refreshed between triggers applies to subsequent batches without
-    restarting the query (the stream side stays exactly-once via the
-    checkpoint; the test pins both properties). Map-only per batch —
+    data. This runs with ``trigger(availableNow=True)``, so each call
+    is a run-to-completion query: a refreshed dim applies on the NEXT
+    ``stream_enrich`` run (pass the re-read DataFrame), and the stream
+    side stays exactly-once across those re-runs via the checkpoint —
+    already-processed input files are never re-joined, so rows
+    enriched under the old dim keep their old decoration (the test
+    pins exactly this refresh-across-restart behavior). For a
+    long-lived continuous query, pass a dim defined directly over its
+    storage path instead of a pre-collected DataFrame: stream-static
+    joins re-evaluate the static side per micro-batch, which re-reads
+    the path's CURRENT data, whereas an in-memory dim is fixed at plan
+    time. Map-only per batch —
     no watermark, no state store — so append mode is safe and the
     stream scales with the input rate alone; the reference analogue
     is the model/metadata catalog lookup (A21, `cloud_client.py:313`)

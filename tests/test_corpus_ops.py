@@ -3861,6 +3861,23 @@ def test_q215_maxcover_greedy_hand_computed(spark, tmp_path):
     assert gains == sorted(gains, reverse=True)
 
 
+def test_q215_maxcover_small_corpus_stops_early(spark, tmp_path):
+    """Corpus smaller than MAXCOV_PICKS: the greedy loop must stop
+    when candidates run out instead of raising IndexError on an empty
+    collect (round-3 ADVICE), emitting one row per available doc."""
+    d = _write_docs(
+        tmp_path,
+        [(0, "a b c", "de", "s"), (1, "a d", "de", "s")],
+    )
+    sdf = (
+        QUERIES["q215_maxcover_selection"](spark, d)
+        .toPandas()
+        .sort_values("pick_order")
+    )
+    rows = [tuple(r) for r in sdf.itertuples(index=False)]
+    assert rows == [(1, 0, 3, 3), (2, 1, 1, 4)]
+
+
 def test_q216_retrieval_mrr_hand_computed(spark, tmp_path):
     """Queries 0/1 each have exactly one same-label twin (cosine 1.0)
     -> first_rel_rank 1, MRR 1e6, P@5 = 200000 ppm; query 2's label

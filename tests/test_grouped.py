@@ -88,3 +88,38 @@ def test_grouped_agg_udaf_matches_relational(spark):
     assert abs(a["a"] - (sum([1, 1, 2, 3, 3, 50, 50, 900, 900, 7]) / 10)) \
         < 1e-12
     assert a["b"] == 5.0
+
+
+def test_trimmed_mean_null_nan_parity(spark):
+    """Null/NaN rows are excluded by BOTH trimmed-mean forms under the
+    same rule (pandas dropna vs relational pre-filter), and a group
+    whose values are all null/NaN vanishes from both outputs — the
+    divergence flagged in round-3 ADVICE (pandas sorts NaN last and
+    skips it in sum() while counting it in len(); the window sorted
+    nulls first and counted null rows)."""
+    from pyspark.sql import functions as F
+
+    from german_ocr_spark.operators.grouped import (
+        trimmed_mean_grouped,
+        trimmed_mean_relational,
+    )
+
+    nan = float("nan")
+    rows = (
+        # nulls/NaNs interleaved so trimming would drop DIFFERENT rows
+        # if either form kept them
+        [("a", v) for v in [None, nan, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0,
+                            7.0, 8.0, 9.0, 10.0, None, nan]]
+        + [("b", None), ("b", nan)]          # all-null group: no row
+        + [("c", 2.0), ("c", None)]
+    )
+    df = spark.createDataFrame(rows, "k string, v double").repartition(5)
+    a = {r.k: r.trimmed_mean for r in trimmed_mean_grouped(df, "k", "v").collect()}
+    b = {r.k: r.trimmed_mean
+         for r in trimmed_mean_relational(df, "k", "v").collect()}
+    assert a.keys() == b.keys() == {"a", "c"}
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12, k
+    # group a keeps exactly the 10 non-null values: n=10, trim 1 each end
+    assert abs(a["a"] - (sum(range(2, 10)) / 8)) < 1e-12
+    assert a["c"] == 2.0
