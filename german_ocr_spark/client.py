@@ -53,6 +53,62 @@ class ExtractResult:
     errors: list[str]
 
 
+# Kernel catalog — the engine's analog of the reference's model
+# registry (``ollama_backend.py:13-49`` AVAILABLE_MODELS): short key →
+# canonical kernel name + metadata. The reference resolves a short
+# model key to the Ollama model it downloads; here the "models" are the
+# per-kind vectorized extraction kernels, and the catalog is a tiny
+# dimension (broadcast cost class) a job can join for routing/reporting.
+AVAILABLE_KERNELS: dict[str, dict[str, str]] = {
+    "text": {
+        "name": "kernel/text-passthrough",
+        "display": "Text passthrough",
+        "stage": "map",
+        "description": "Unicode-clean text spans, no transformation",
+    },
+    "html": {
+        "name": "kernel/html-boilerplate",
+        "display": "HTML boilerplate strip",
+        "stage": "map",
+        "description": "Text/link-density block scoring (kernels/boilerplate.py)",
+    },
+    "pdf": {
+        "name": "kernel/pdf-xycut",
+        "display": "PDF XY-cut layout",
+        "stage": "map",
+        "description": "Block segmentation + (page, y, x) reading order",
+    },
+    "ocr": {
+        "name": "kernel/german-ocr-post",
+        "display": "German OCR post-processing",
+        "stage": "map",
+        "description": "Umlaut/ß normalize, de-hyphenate, Fraktur repair",
+    },
+    "image": {
+        "name": "kernel/media-ref",
+        "display": "Media reference passthrough",
+        "stage": "map",
+        "description": "Opaque media spans kept as refs (multimodal.py)",
+    },
+}
+
+DEFAULT_KERNEL = "text"
+
+
+def list_available_models() -> dict[str, dict[str, str]]:
+    """Copy of the kernel catalog — name/shape parity with the
+    reference's ``list_available_models`` (``ollama_backend.py:51-53``)."""
+    return {k: dict(v) for k, v in AVAILABLE_KERNELS.items()}
+
+
+def get_model_name(model_key: str) -> str:
+    """Short key → canonical kernel name; unknown keys pass through
+    unchanged (the reference's fallback, ``ollama_backend.py:56-59``)."""
+    if model_key in AVAILABLE_KERNELS:
+        return AVAILABLE_KERNELS[model_key]["name"]
+    return model_key
+
+
 class GermanOCRSpark:
     """Drop-in-shaped client over the Spark extraction engine."""
 
@@ -111,6 +167,20 @@ class GermanOCRSpark:
                     ExtractResult(doc[0], r.text, not errs, errs)
                 )
         return results
+
+    def list_models(self) -> DataFrame:
+        """The kernel catalog as a 5-row dimension DataFrame (key,
+        name, display, stage, description) — joinable (always a
+        broadcast: the relation is domain-sized) and showable, the
+        Spark-shaped spelling of ``list_available_models``."""
+        rows = [
+            (k, v["name"], v["display"], v["stage"], v["description"])
+            for k, v in sorted(AVAILABLE_KERNELS.items())
+        ]
+        return self._spark.createDataFrame(
+            rows, "key string, name string, display string, "
+            "stage string, description string"
+        )
 
     # ------------------------------------------------ async job path
     def _next_job_id(self) -> str:

@@ -64,8 +64,11 @@ def structured_extract(df: DataFrame, payload_col: str = "raw_response") -> Data
 
     Output columns: doc_type (tagged union dispatch, extractor.py:204-211
     with the same "missing type → document" default), data (typed
-    struct), raw_response, success, error. Failures are per-row values,
-    never task failures (extractor.py:219-223).
+    struct), raw_response, success, error, confidence. Failures are
+    per-row values, never task failures (extractor.py:219-223).
+    ``confidence`` mirrors the reference's structured-result field
+    (``ollama_backend.py:145``, constant 1.0 on success); a failed
+    parse gets 0.0 so downstream filters can threshold on one column.
     """
     parsed = parse_payload(F.col(payload_col))
     doc_type = F.coalesce(parsed["type"], F.lit("document"))
@@ -79,6 +82,9 @@ def structured_extract(df: DataFrame, payload_col: str = "raw_response") -> Data
         F.when(F.col("_parsed").isNull(), F.lit("failed to parse JSON")).alias(
             "error"
         ),
+        F.when(F.col("_parsed").isNull(), F.lit(0.0))
+        .otherwise(F.lit(1.0))
+        .alias("confidence"),
     )
 
 

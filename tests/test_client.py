@@ -103,3 +103,28 @@ def test_failed_job_raises_not_timeout(client, spark):
     st = client.submit(bad, n_buckets=4)
     with pytest.raises(RuntimeError, match="failed"):
         client.wait_for_result(st.job_id, poll_interval=0.2, max_wait=60)
+
+
+def test_model_catalog_parity(client):
+    """list_available_models / get_model_name parity with the
+    reference's model registry (ollama_backend.py:13-59): copy
+    semantics, short-key resolution, unknown-key passthrough — and
+    the Spark-shaped list_models() dimension DataFrame."""
+    from german_ocr_spark.client import (
+        AVAILABLE_KERNELS,
+        get_model_name,
+        list_available_models,
+    )
+
+    cat = list_available_models()
+    assert set(cat) == set(AVAILABLE_KERNELS)
+    cat["text"]["name"] = "mutated"  # a copy, like the reference's .copy()
+    assert AVAILABLE_KERNELS["text"]["name"] == "kernel/text-passthrough"
+    assert get_model_name("ocr") == "kernel/german-ocr-post"
+    assert get_model_name("not-a-kernel") == "not-a-kernel"
+
+    df = client.list_models()
+    assert df.count() == len(AVAILABLE_KERNELS)
+    assert df.columns == ["key", "name", "display", "stage", "description"]
+    by_key = {r.key: r.name for r in df.collect()}
+    assert by_key["html"] == "kernel/html-boilerplate"

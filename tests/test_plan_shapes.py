@@ -159,3 +159,61 @@ def test_global_topk_is_heap_not_sort(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------
+# Unpartitioned (single-partition) Window census — round-3 VERDICT item.
+# A Window with no partition spec moves ALL rows to one partition, so it
+# is legal ONLY over a domain-bounded relation. Every nonzero count is
+# pinned here with its boundedness justification; a regression that
+# slips a corpus-sized relation under a global window changes a count
+# (or adds a query to the census) and fails CI instead of surviving to
+# a cluster. Counts from tools/plan_audit.py:count_global_windows.
+GLOBAL_WINDOWS = {
+    "q69_shard_assignment": 1,    # share denominator over the SHARD_N(=16)-row agg
+    "q116_vocab_coverage": 1,     # rank+cumsum over the vocab relation (≤ millions of types by construction)
+    "q122_bm25_search": 1,        # rank column over the already-limited BM25_TOP_K rows
+    "q129_lm_train_bigrams": 2,   # perplexity totals over the few-thousand-row bigram-head relation
+    "q130_dsir_selection": 1,     # global totals over the bucket/source relation (q129's tiny-relation pattern)
+    "q131_temperature_mix": 1,    # totals over the sources-sized relation
+    "q132_curriculum_deciles": 2, # cumulative cuts + total over the ≤12001-row cost histogram
+    "q137_rrf_hybrid": 3,         # two system rankings + fused rank, all over the candidate relation (≤candidate rows; production caps per term first)
+    "q152_event_acf": 2,          # row_number + totals over the generated hourly grid (~10^5 rows/decade)
+    "q166_zipf_audit": 1,         # rank over the TakeOrdered top-30 rows
+    "q171_ks_drift": 1,           # global CDF over the (x) histogram grid (bounded value domain)
+    "q178_host_waterfill": 1,     # staircase over the hosts relation (domain-sized, never the corpus)
+    "q183_wilson_source_rank": 1, # ranking over the sources-sized relation
+    "q186_histogram_quantiles": 2,# cumulative cuts + quantile probe over the merged histogram
+    "q207_rbo_rankings": 2,       # two rankings over the candidate relation
+    "q213_funnel_latency": 2,     # percentile windows over the bounded minute histogram
+    "q226_user_concentration": 2, # Lorenz rank + totals over the user-sized relation (users ≪ events)
+    "q228_posting_cap_audit": 4,  # per-term impact ranks + both top-k picks over the 3-term candidate relation (index-build work)
+}
+
+
+def test_pinned_global_window_counts(spark):
+    from tools.plan_audit import count_global_windows
+
+    got = {
+        name: count_global_windows(
+            QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for name in GLOBAL_WINDOWS
+    }
+    assert got == GLOBAL_WINDOWS
+
+
+def test_global_window_census_membership():
+    """Queries NOT pinned above must show zero global windows in the
+    committed census (PLAN_AUDIT.json is regenerated per milestone via
+    tools/plan_audit.py) — so ADDING an unpartitioned window anywhere
+    in the registry requires adding a justified pin here."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLAN_AUDIT.json")
+    census = json.load(open(path))
+    assert set(census["global_window_queries"]) == set(GLOBAL_WINDOWS)

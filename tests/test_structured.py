@@ -73,3 +73,12 @@ def test_plan_is_jvm_only(extracted):
     # the whole chain must codegen: no ArrowEvalPython / MapInPandas
     plan = extracted._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_confidence_column_parity(extracted):
+    """The reference's structured result carries a constant
+    confidence field (ollama_backend.py:145, 1.0); here it is a
+    column — 1.0 on parse success, 0.0 on failure."""
+    rows = {r.doc_id: r.confidence for r in extracted.collect()}
+    assert rows["fenced"] == 1.0 and rows["form"] == 1.0
+    assert rows["broken"] == 0.0 and rows["nojson"] == 0.0
