@@ -46,8 +46,27 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     Use as ``df.transform(materialize)`` at every round boundary /
     multi-consumer seam instead of calling ``localCheckpoint`` or
     ``checkpoint`` directly.
+
+    Reliable mode persists the input around the ``checkpoint()`` call:
+    an eager Dataset.checkpoint runs its materialization action AND a
+    separate checkpoint-file write job, so an un-persisted input would
+    recompute its whole lineage twice at every seam — exactly the cost
+    this module exists to avoid on multi-round jobs. The persist is
+    dropped immediately after the checkpoint files are written (the
+    returned plan reads the checkpoint, not the cache). Checkpoint
+    files themselves are garbage-collected by the ContextCleaner once
+    the RDD goes out of scope — session.get_spark enables
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` — so a
+    long-running iterative job does not accumulate one directory per
+    round.
     """
     spark = df.sparkSession
     if has_reliable_checkpoint(spark):
-        return df.checkpoint(eager=eager)
+        if not eager:
+            return df.checkpoint(eager=False)
+        df = df.persist()
+        try:
+            return df.checkpoint(eager=True)
+        finally:
+            df.unpersist()
     return df.localCheckpoint(eager=eager)

@@ -82,9 +82,9 @@ def structured_extract(df: DataFrame, payload_col: str = "raw_response") -> Data
         F.when(F.col("_parsed").isNull(), F.lit("failed to parse JSON")).alias(
             "error"
         ),
-        F.when(F.col("_parsed").isNull(), F.lit(0.0))
-        .otherwise(F.lit(1.0))
-        .alias("confidence"),
+        # derived from the SAME predicate as success so the two
+        # columns can never desynchronize
+        F.col("_parsed").isNotNull().cast("double").alias("confidence"),
     )
 
 

@@ -69,6 +69,11 @@ def get_spark(
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # Deterministic timestamps in oracle comparisons.
         .config("spark.sql.session.timeZone", "UTC")
+        # Reliable checkpoints (materialize.py) are reclaimed by the
+        # ContextCleaner when their RDD is GC'd — without this a
+        # long-running iterative job accumulates one checkpoint dir
+        # per round until the job ends.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # zstd: ~33% smaller span parquet than snappy AND faster to
         # write (measured 6.9s vs 8.0s for 1.25M spans at 32 cores) —
         # at object-storage scale the byte reduction also cuts every

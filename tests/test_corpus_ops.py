@@ -3864,18 +3864,19 @@ def test_q215_maxcover_greedy_hand_computed(spark, tmp_path):
 def test_q215_maxcover_small_corpus_stops_early(spark, tmp_path):
     """Corpus smaller than MAXCOV_PICKS: the greedy loop must stop
     when candidates run out instead of raising IndexError on an empty
-    collect (round-3 ADVICE), emitting one row per available doc."""
+    collect (round-3 ADVICE), emitting one row per available doc — and
+    the ORACLE must agree (its unrolled arms drop NULL-pick rows), so
+    the early-stop keeps the parity contract, not just the engine
+    alive."""
     d = _write_docs(
         tmp_path,
         [(0, "a b c", "de", "s"), (1, "a d", "de", "s")],
     )
-    sdf = (
-        QUERIES["q215_maxcover_selection"](spark, d)
-        .toPandas()
-        .sort_values("pick_order")
-    )
+    name = "q215_maxcover_selection"
+    sdf = QUERIES[name](spark, d).toPandas().sort_values("pick_order")
     rows = [tuple(r) for r in sdf.itertuples(index=False)]
     assert rows == [(1, 0, 3, 3), (2, 1, 1, 4)]
+    assert compare(sdf, _oracle(d, name)) is None
 
 
 def test_q216_retrieval_mrr_hand_computed(spark, tmp_path):

@@ -38,13 +38,24 @@ def _sorted_rows(df):
     return [tuple(r) for r in df.orderBy(*df.columns).collect()]
 
 
-def test_mode_switch(spark, reliable_ckpt):
+def test_mode_switch(spark, reliable_ckpt, tmp_path):
     df = spark.range(10).withColumn("x", F.col("id") * 2)
     assert has_reliable_checkpoint(spark)
     out = materialize(df)
     # reliable checkpoint() materializes to the configured dir and is
     # collectable with identical rows
     assert _sorted_rows(out) == _sorted_rows(df)
+    # ... and the reliable path was actually TAKEN: checkpoint files
+    # exist under the configured dir (a regression that silently
+    # always localCheckpoints would still pass the row equality above)
+    import os
+
+    ckpt_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(str(tmp_path / "ckpt"))
+        for f in fs
+    ]
+    assert ckpt_files, "no checkpoint files written under the reliable dir"
 
 
 def test_local_fallback(spark):
