@@ -253,9 +253,27 @@ class GermanOCRSpark:
             and t is not None
             and not t.is_alive()
         ):
-            # worker died without completing: the reference's 'failed'
-            # terminal state (cloud_client.py:443-452)
-            status = "failed"
+            # The worker thread is dead. A status read can RACE the
+            # worker's final lineage append (a listing taken mid-commit
+            # falls into pipeline.status's pending fallback), so a
+            # non-terminal status observed BEFORE noticing the death is
+            # not authoritative. Thread death strictly follows the last
+            # append, so re-reading now yields the true final state;
+            # retry once more for a transient listing error. Only a
+            # post-mortem read that still shows an unfinished job is
+            # the reference's 'failed' terminal state
+            # (cloud_client.py:443-452) — a genuine crash also leaves
+            # j['error'] set by the worker's except handler.
+            for _ in range(2):
+                st = pipeline.status(
+                    self._spark, j["out"], n_buckets=j["n_buckets"]
+                )
+                status = st.status
+                if status in ("completed", "cancelled"):
+                    break
+                time.sleep(0.1)
+            else:
+                status = "failed"
         return JobStatus(
             job_id,
             status,
