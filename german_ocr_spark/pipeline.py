@@ -104,6 +104,23 @@ def run(
     so ``cancel(spark, output_dir, snapshot_id)`` from another thread
     aborts the run mid-flight (A17).
     """
+    # Bucket-count pinning: the committed-bucket set is only meaningful
+    # modulo the ORIGINAL n_buckets. Resuming with a different value
+    # silently duplicates docs (new buckets re-extract already-covered
+    # docs) or drops them (status sees "all committed" while high
+    # buckets never ran) — refuse loudly instead. First run on a table
+    # records the count durably; legacy tables adopt this run's value.
+    recorded = lin.recorded_bucketing(spark, output_dir)
+    if recorded is None:
+        lin.record_bucketing(
+            spark, output_dir, n_buckets, snapshot_id, committed_at
+        )
+    elif recorded != n_buckets:
+        raise ValueError(
+            f"output table {output_dir!r} is bucketed with "
+            f"n_buckets={recorded}; resume must use the same value "
+            f"(got {n_buckets})"
+        )
     done = lin.committed_buckets(spark, output_dir)
     pending = [b for b in range(n_buckets) if b not in done]
     if bucket_group_size is None:
@@ -188,12 +205,18 @@ def run(
             docs_b.unpersist()
         sc.setJobGroup("", "")
 
-    ldf = lin.read_lineage(spark, output_dir)
-    tot = ldf.filter(F.col("status") == "committed").agg(
-        F.sum("doc_count").alias("d"),
-        F.sum("span_count").alias("s"),
-        F.sum("error_count").alias("e"),
-    ).collect()[0]
+    try:
+        ldf = lin.read_lineage(spark, output_dir)
+        tot = ldf.filter(F.col("status") == "committed").agg(
+            F.sum("doc_count").alias("d"),
+            F.sum("span_count").alias("s"),
+            F.sum("error_count").alias("e"),
+        ).collect()[0]
+    except Exception:
+        # a run that committed nothing on a fresh dir (max_groups=0)
+        # has no lineage to total — return zeros, not a raise
+        class tot:  # noqa: N801 - row stand-in
+            d = s = e = 0
     return RunResult(
         snapshot_id=snapshot_id,
         buckets_total=n_buckets,
@@ -259,11 +282,21 @@ def status(
                 F.sum(
                     F.when(F.col("status") == "resumed", 1).otherwise(0)
                 ).alias("r"),
+                # the durable bucket count (record_bucketing) rides the
+                # same aggregate pass — a poller never needs to know the
+                # original n_buckets to get a correct completed verdict
+                F.max(
+                    F.when(
+                        F.col("status") == "bucketing", F.col("doc_count")
+                    )
+                ).alias("nb"),
                 F.max("snapshot_id").alias("snap"),
             )
         ).collect()[0]
     except Exception:
         return JobStatus("", "pending", 0, n_buckets, 0, 0, 0)
+    if agg.nb is not None:
+        n_buckets = int(agg.nb)
     buckets_done = int(agg.b or 0)
     # cancelled iff cancel rows outnumber resume rows (a resumed run
     # durably clears intent at start — see lin.mark_resumed)
@@ -306,10 +339,14 @@ def read_output(
         from .schema import EXTRACTED_SPAN_SCHEMA
 
         return spark.createDataFrame([], schema=EXTRACTED_SPAN_SCHEMA)
-    df = spark.read.parquet(*files)
+    # mergeSchema: a table committed partly before and partly after the
+    # error_code column existed mixes file schemas; without the merge,
+    # Spark infers from ONE sampled footer and — if it samples a legacy
+    # file — silently nulls error_code for every row, including rows
+    # whose files carry real codes (file-order-dependent reads).
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
     if "error_code" not in df.columns:
-        # tables committed before the error_code column existed stay
-        # readable (legacy layouts are supported everywhere else too)
+        # tables where EVERY file predates error_code stay readable
         df = df.withColumn("error_code", F.lit(None).cast("string"))
     return df.select(
         "doc_id", "order", "kind", "text", "media_ref", "error", "error_code"

@@ -47,7 +47,6 @@ import os
 
 from pyspark.sql import SparkSession
 
-from ..schema import LINEAGE_SCHEMA
 from . import lineage as lin
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
@@ -82,12 +81,31 @@ def plan_compaction(
 def _file_sizes(
     spark: SparkSession, data_dir: str, rel_files: list[str]
 ) -> list[tuple[str, int]]:
+    """Sizes of the manifest files, via ONE listStatus per commit
+    subdirectory instead of one getFileStatus RPC per file — at the
+    million-small-file scale this module targets, per-file driver
+    round-trips (object-store HEADs on s3a/gs) stall planning for
+    minutes before any rewrite starts; per-directory listings return
+    the same lengths in a handful of batched calls."""
     fs, _ = lin._hadoop_fs(spark, data_dir)
-    out = []
+    wanted = set(rel_files)
+    by_dir: dict[str, list[str]] = {}
     for rel in rel_files:
-        p = spark._jvm.org.apache.hadoop.fs.Path(os.path.join(data_dir, rel))
-        out.append((rel, int(fs.getFileStatus(p).getLen())))
-    return out
+        by_dir.setdefault(os.path.dirname(rel), []).append(rel)
+    sizes: dict[str, int] = {}
+    for d in by_dir:
+        p = spark._jvm.org.apache.hadoop.fs.Path(
+            os.path.join(data_dir, d) if d else data_dir
+        )
+        if not fs.exists(p):
+            continue
+        for st in fs.listStatus(p):
+            if not st.isFile():
+                continue
+            rel = os.path.join(d, st.getPath().getName()) if d else st.getPath().getName()
+            if rel in wanted:
+                sizes[rel] = int(st.getLen())
+    return [(rel, sizes[rel]) for rel in rel_files if rel in sizes]
 
 
 def compact(
@@ -125,8 +143,14 @@ def compact(
         # Bins are independent — a real cluster runs them concurrently
         # under separate job groups (Iceberg's rewrite groups do the
         # same); content is untouched, only layout changes.
+        # mergeSchema: a bin can mix files of different vintages
+        # (pre-error_code commits, upserted files) — without the merge
+        # the rewrite adopts ONE sampled footer's schema and silently
+        # drops the other files' columns, and vacuum later deletes the
+        # only copies (violating the bit-for-bit content contract)
         (
-            spark.read.parquet(*(os.path.join(d, f) for f in bin_files))
+            spark.read.option("mergeSchema", "true")
+            .parquet(*(os.path.join(d, f) for f in bin_files))
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(dest)
@@ -142,9 +166,7 @@ def compact(
             (snapshot_id, lin.CONTROL_BUCKET, 0, 0, 0, "replaced",
              committed_at, sorted(bin_files)),
         ]
-        spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).coalesce(
-            1
-        ).write.mode("append").parquet(lin.lineage_path(output_dir))
+        lin.append_lineage(spark, output_dir, rows)
         files_in += len(bin_files)
         files_out += len(new_files)
     return {"bins": len(bins), "files_in": files_in, "files_out": files_out}

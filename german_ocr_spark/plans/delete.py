@@ -36,7 +36,6 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..schema import LINEAGE_SCHEMA
 from . import lineage as lin
 
 
@@ -114,9 +113,7 @@ def delete_docs(
         (snapshot_id, lin.CONTROL_BUCKET, 0, 0, 0, "replaced",
          committed_at, old_rel),
     ]
-    spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).coalesce(
-        1
-    ).write.mode("append").parquet(lin.lineage_path(output_dir))
+    lin.append_lineage(spark, output_dir, rows)
     return {
         "files_rewritten": len(old_rel),
         "rows_deleted": n_deleted,

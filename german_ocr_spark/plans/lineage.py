@@ -112,6 +112,53 @@ def _list_data_files(spark: SparkSession, output_dir: str) -> set[str]:
     return out
 
 
+def append_lineage(spark: SparkSession, output_dir: str, rows: list) -> None:
+    """THE one spelling of a lineage append (rows of LINEAGE_SCHEMA,
+    one coalesced file per append) — every commit point in this module
+    and in plans.compact / plans.delete / plans.upsert goes through
+    here, so commit mechanics (schema evolution, write options) change
+    in exactly one place."""
+    spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(lineage_path(output_dir))
+
+
+def record_bucketing(
+    spark: SparkSession,
+    output_dir: str,
+    n_buckets: int,
+    snapshot_id: str,
+    at: str,
+) -> None:
+    """Durably record the table's bucket count (a ``bucketing`` control
+    row carrying n_buckets in ``doc_count``). Written once, by the
+    first run that touches the table: ``pipeline.run`` refuses to
+    resume with a different n_buckets, because re-bucketing a
+    half-committed table silently duplicates or drops documents (the
+    committed set is interpreted modulo the NEW count)."""
+    append_lineage(
+        spark,
+        output_dir,
+        [(snapshot_id, CONTROL_BUCKET, n_buckets, 0, 0, "bucketing", at, [])],
+    )
+
+
+def recorded_bucketing(spark: SparkSession, output_dir: str) -> int | None:
+    """The durably recorded bucket count, or None for a fresh/legacy
+    table (legacy tables adopt the next run's value)."""
+    try:
+        ldf = read_lineage(spark, output_dir)
+    except Exception:
+        return None
+    rows = (
+        ldf.filter(F.col("status") == "bucketing")
+        .select("doc_count")
+        .limit(1)
+        .collect()
+    )
+    return int(rows[0].doc_count) if rows else None
+
+
 def committed_buckets(spark: SparkSession, output_dir: str) -> set[int]:
     path = lineage_path(output_dir)
     try:
@@ -174,9 +221,14 @@ def committed_files(
 
 def vacuum(spark: SparkSession, output_dir: str) -> list[str]:
     """Delete data files not referenced by any committed lineage row
-    (orphans from killed uncommitted writes). Safe any time: readers
-    only ever see manifest-referenced files. Uses the Hadoop FS API, so
-    it works against object stores as well as local runs."""
+    (orphans from killed uncommitted writes). Safe for READERS at any
+    time (they only ever see manifest-referenced files), but requires
+    WRITER quiescence: every commit writes data first and appends its
+    lineage row after, so a vacuum racing an in-flight commit would see
+    the new subdir as unreferenced and delete it before the row lands.
+    Run vacuum only with no writers in flight (the Iceberg
+    expire-snapshots operational rule). Uses the Hadoop FS API, so it
+    works against object stores as well as local runs."""
     d = data_path(output_dir)
     referenced = {
         os.path.relpath(f, d) for f in committed_files(spark, output_dir)
@@ -264,9 +316,7 @@ def commit_bucket_group(
         )
         for b in buckets
     ]
-    spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).coalesce(1).write.mode(
-        "append"
-    ).parquet(lineage_path(output_dir))
+    append_lineage(spark, output_dir, rows)
     return (
         sum(int(stats[f"d{b}"] or 0) for b in buckets),
         sum(int(stats[f"s{b}"] or 0) for b in buckets),
@@ -283,9 +333,7 @@ def _control_rows(
     n: int = 1,
 ) -> None:
     rows = [(snapshot_id, CONTROL_BUCKET, 0, 0, 0, status, at, [])] * n
-    spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).coalesce(1).write.mode(
-        "append"
-    ).parquet(lineage_path(output_dir))
+    append_lineage(spark, output_dir, rows)
 
 
 def mark_cancelled(

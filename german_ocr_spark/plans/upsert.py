@@ -34,7 +34,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schema import LINEAGE_SCHEMA
 from . import delete as dl
 from . import lineage as lin
 
@@ -58,6 +57,11 @@ def upsert_docs(
     lin.assert_snapshot_unused(spark, output_dir, snapshot_id)
     if committed_at is None:
         committed_at = lin.next_committed_at(spark, output_dir)
+    # fresh is typically the extraction pipeline's output over the
+    # incoming delta — the expensive relation. It is evaluated twice
+    # below (the doc_id collect AND the data write); persist around
+    # both so the upstream plan runs once.
+    fresh = fresh.persist()
     doc_ids = [r.doc_id for r in fresh.select("doc_id").distinct().collect()]
     stats = dl.delete_docs(
         spark,
@@ -69,6 +73,7 @@ def upsert_docs(
     subdir = f"{snapshot_id}-u00000"
     dest = os.path.join(lin.data_path(output_dir), subdir)
     fresh.write.mode("overwrite").parquet(dest)
+    fresh.unpersist()
     new_files = sorted(
         f"{subdir}/{n}" for n in lin._list_dir_files(spark, dest)
     )
@@ -76,9 +81,7 @@ def upsert_docs(
         (snapshot_id, lin.CONTROL_BUCKET, 0, 0, 0, "upserted",
          committed_at, new_files),
     ]
-    spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).coalesce(
-        1
-    ).write.mode("append").parquet(lin.lineage_path(output_dir))
+    lin.append_lineage(spark, output_dir, rows)
     return {
         "docs_upserted": len(doc_ids),
         "rows_deleted": stats["rows_deleted"],
@@ -109,21 +112,20 @@ def snapshot_diff(
 
     def digests(as_of: str | None) -> DataFrame:
         spans = pipeline.read_output(spark, output_dir, as_of=as_of)
+        # per-span serialization is to_json with nulls KEPT: concat_ws
+        # silently drops null operands AND their separators, so
+        # (text=NULL, media_ref='r') and (text='r', media_ref=NULL)
+        # would collide to one string and a modified doc would be
+        # reported unchanged; JSON quoting makes null vs 'null' vs ''
+        # all distinct
+        span_json = F.to_json(
+            F.struct("order", "kind", "text", "media_ref"),
+            {"ignoreNullFields": "false"},
+        )
         return spans.groupBy("doc_id").agg(
             F.md5(
                 F.concat_ws(
-                    "\x1f",
-                    F.sort_array(
-                        F.collect_list(
-                            F.concat_ws(
-                                "\x1e",
-                                F.col("order").cast("string"),
-                                "kind",
-                                "text",
-                                "media_ref",
-                            )
-                        )
-                    ),
+                    "\x1f", F.sort_array(F.collect_list(span_json))
                 )
             ).alias("digest")
         )

@@ -116,3 +116,84 @@ def test_partitioning_invariance(spark, docs):
     a = _sorted_pdf(extract_pipeline(sdf.repartition(1), salt_partitions=None))
     b = _sorted_pdf(extract_pipeline(sdf.repartition(64), salt_partitions=48))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_resume_with_different_n_buckets_refuses(spark, docs, tmp_path):
+    """The committed-bucket set is only meaningful modulo the ORIGINAL
+    n_buckets: resuming a half-committed table with a different count
+    would silently duplicate docs (re-bucketed moduli re-extract
+    covered docs) or drop them (status sees 'all committed' while high
+    buckets never ran). The first run records the count durably; a
+    mismatched resume must refuse loudly."""
+    out = str(tmp_path / "out")
+    sdf = docs_to_spark(spark, docs)
+    pipeline.run(
+        spark, sdf, out, n_buckets=8, bucket_group_size=3, max_groups=1
+    )
+    assert lin.recorded_bucketing(spark, out) == 8
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        pipeline.run(spark, sdf, out, n_buckets=32)
+    # the matching count still resumes fine
+    res = pipeline.run(spark, sdf, out, n_buckets=8)
+    assert res.buckets_skipped == 3 and res.buckets_processed == 5
+
+
+def test_status_uses_durable_bucket_count(spark, docs, tmp_path):
+    """A poller that guesses the wrong n_buckets must still get the
+    correct verdict: the durable bucketing row overrides the param
+    (a table complete at 4/4 previously reported 'completed' to a
+    n_buckets=2 guesser even when half-done, and 'processing' forever
+    to a n_buckets=32 guesser)."""
+    out = str(tmp_path / "out")
+    pipeline.run(spark, docs_to_spark(spark, docs), out, n_buckets=4)
+    for guess in (2, 4, 32):
+        st = pipeline.status(spark, out, n_buckets=guess)
+        assert st.status == "completed", guess
+        assert st.buckets_total == 4, guess
+
+
+def test_run_zero_groups_on_fresh_dir_returns_zeros(spark, docs, tmp_path):
+    """max_groups=0 (the killed-before-first-commit simulation) on a
+    fresh output dir must return a zeroed RunResult, not raise on the
+    missing lineage table."""
+    out = str(tmp_path / "out")
+    res = pipeline.run(
+        spark, docs_to_spark(spark, docs), out, n_buckets=8, max_groups=0
+    )
+    assert res.buckets_processed == 0
+    assert res.doc_count == 0 and res.span_count == 0
+
+
+def test_read_output_merges_mixed_file_schemas(spark, docs, tmp_path):
+    """A table committed partly before and partly after the error_code
+    column existed must read back with the REAL codes preserved —
+    without mergeSchema, Spark infers from one sampled footer and a
+    legacy sample silently nulls error_code for every row."""
+    out = str(tmp_path / "out")
+    sdf = docs_to_spark(spark, docs)
+    pipeline.run(spark, sdf, out, n_buckets=2)
+    # doctor a legacy commit: a data file WITHOUT error_code plus its
+    # lineage row (what a pre-error_code writer left behind)
+    legacy_dir = str(tmp_path / "out/data/legacy-g00099")
+    spark.createDataFrame(
+        [("legacy-doc", 0, "text", "alt", "", None)],
+        "doc_id string, order int, kind string, text string, "
+        "media_ref string, error string",
+    ).coalesce(1).write.parquet(legacy_dir)
+    legacy_files = sorted(
+        f"legacy-g00099/{n}" for n in lin._list_dir_files(spark, legacy_dir)
+    )
+    lin.append_lineage(
+        spark,
+        out,
+        [("legacy", 99, 1, 1, 0, "committed", "1970-01-01T00:00:01Z",
+          legacy_files)],
+    )
+    got = pipeline.read_output(spark, out).toPandas()
+    assert "legacy-doc" in set(got["doc_id"])
+    # real error_code values from the NEW files survive the merge
+    want = golden_extract(docs)
+    n_codes = int(want["error"].notna().sum())
+    if n_codes:
+        assert int(got["error_code"].notna().sum()) == n_codes
+    assert got.loc[got.doc_id == "legacy-doc", "error_code"].isna().all()
