@@ -11,6 +11,8 @@ the same method names and semantics.
 | ``CloudClient.wait_for_result`` (cloud_client.py:415-462) | ``wait_for_result`` | poll loop with ``poll_interval`` / ``max_wait`` / ``on_progress`` callback; raises on failure, ``TimeoutError`` past ``max_wait`` |
 | ``CloudClient.cancel_job`` (cloud_client.py:399-413) | ``cancel_job`` | swallow-to-False contract |
 | ``CloudClient.analyze`` (cloud_client.py:464-526) | ``analyze`` | submit + wait composite |
+| ``CloudClient.get_usage`` (cloud_client.py:531-534) | ``get_usage`` | usage statistics — here a per-job lineage rollup DataFrame |
+| ``CloudClient.get_balance`` (cloud_client.py:527-529) | ``get_balance`` | dict with explicit null balance (no billing account in-process) + processed totals |
 | context manager (cloud_client.py / tests:268-275) | ``with GermanOCRSpark(...)`` | usable in ``with`` blocks |
 
 The async boundary the reference places at HTTP is a driver-side
@@ -342,6 +344,122 @@ class GermanOCRSpark:
             max_wait=max_wait,
             on_progress=on_progress,
         )
+
+    # ------------------------------------------------ usage accounting
+    def get_usage(self) -> DataFrame:
+        """Usage statistics — the reference's ``get_usage``
+        (``cloud_client.py:531-534``, README "API Endpoints"
+        ``/v1/usage``) re-expressed as a lineage-table rollup: one row
+        per job in this client's workdir with its committed document /
+        span / error totals, bucket progress, commit-window timestamps,
+        data-file count, and terminal status. The lineage tables ARE
+        the usage ledger (every commit appended its counts durably),
+        so the report needs no extra bookkeeping writes anywhere in
+        the job path.
+
+        Scale shape: jobs are a dimension (driver-side dir listing of
+        the workdir is jobs-sized, not corpus-sized); each job's
+        lineage is a handful of rows per bucket. The union + rollup is
+        a broadcast-cost aggregation."""
+        jobs: list[tuple[str, int]] = []
+        if os.path.isdir(self._workdir):
+            for name in sorted(os.listdir(self._workdir)):
+                cfg_path = os.path.join(self._workdir, name, "_job.json")
+                if not os.path.isfile(cfg_path):
+                    continue
+                with open(cfg_path) as fh:
+                    cfg = json.load(fh)
+                jobs.append((cfg["job_id"], int(cfg["n_buckets"])))
+        ddl = (
+            "job_id string, status string, buckets_done int, "
+            "buckets_total int, doc_count long, span_count long, "
+            "error_count long, n_files long, first_commit_at string, "
+            "last_commit_at string"
+        )
+        if not jobs:
+            return self._spark.createDataFrame([], ddl)
+        parts = []
+        for job_id, n_buckets in jobs:
+            from .plans import lineage as lin
+
+            ldf = lin.read_lineage(
+                self._spark, os.path.join(self._workdir, job_id)
+            )
+            parts.append(
+                ldf.withColumn("job_id", F.lit(job_id)).withColumn(
+                    "buckets_total", F.lit(n_buckets)
+                )
+            )
+        allj = parts[0]
+        for p in parts[1:]:
+            allj = allj.unionByName(p)
+        com = F.col("status") == "committed"
+        agg = allj.groupBy("job_id", "buckets_total").agg(
+            F.countDistinct(
+                F.when(com & (F.col("bucket_id") >= 0), F.col("bucket_id"))
+            ).cast("int").alias("buckets_done"),
+            F.coalesce(
+                F.sum(F.when(com, F.col("doc_count"))), F.lit(0)
+            ).alias("doc_count"),
+            F.coalesce(
+                F.sum(F.when(com, F.col("span_count"))), F.lit(0)
+            ).alias("span_count"),
+            F.coalesce(
+                F.sum(F.when(com, F.col("error_count"))), F.lit(0)
+            ).alias("error_count"),
+            F.coalesce(
+                F.sum(F.when(com, F.size("files"))), F.lit(0)
+            ).alias("n_files"),
+            F.min(F.when(com, F.col("committed_at"))).alias(
+                "first_commit_at"
+            ),
+            F.max(F.when(com, F.col("committed_at"))).alias(
+                "last_commit_at"
+            ),
+            F.max(
+                F.when(F.col("status") == "cancelled", 1).otherwise(0)
+            ).alias("_cancelled"),
+        )
+        return agg.select(
+            "job_id",
+            F.when(F.col("_cancelled") == 1, F.lit("cancelled"))
+            .when(
+                F.col("buckets_done") >= F.col("buckets_total"),
+                F.lit("completed"),
+            )
+            .when(F.col("buckets_done") > 0, F.lit("processing"))
+            .otherwise(F.lit("pending"))
+            .alias("status"),
+            "buckets_done",
+            "buckets_total",
+            "doc_count",
+            "span_count",
+            "error_count",
+            "n_files",
+            "first_commit_at",
+            "last_commit_at",
+        ).orderBy("job_id")
+
+    def get_balance(self) -> dict:
+        """Account balance — the reference's ``get_balance``
+        (``cloud_client.py:527-529``, ``/v1/balance``). An in-process
+        engine has no paid account; this stand-in keeps the method
+        surface 1:1 and reports the metering-relevant totals it CAN
+        know (documents/spans processed across the workdir's jobs)
+        with an explicit null balance rather than inventing credit."""
+        rows = self.get_usage().agg(
+            F.coalesce(F.sum("doc_count"), F.lit(0)).alias("d"),
+            F.coalesce(F.sum("span_count"), F.lit(0)).alias("s"),
+            F.count("*").alias("j"),
+        ).collect()[0]
+        return {
+            "balance": None,
+            "currency": "EUR",
+            "note": "no billing account in an in-process engine",
+            "jobs": int(rows.j),
+            "documents_processed": int(rows.d),
+            "spans_processed": int(rows.s),
+        }
 
     # ------------------------------------------------ context manager
     def __enter__(self) -> "GermanOCRSpark":

@@ -205,18 +205,17 @@ def run(
             docs_b.unpersist()
         sc.setJobGroup("", "")
 
-    try:
-        ldf = lin.read_lineage(spark, output_dir)
-        tot = ldf.filter(F.col("status") == "committed").agg(
-            F.sum("doc_count").alias("d"),
-            F.sum("span_count").alias("s"),
-            F.sum("error_count").alias("e"),
-        ).collect()[0]
-    except Exception:
-        # a run that committed nothing on a fresh dir (max_groups=0)
-        # has no lineage to total — return zeros, not a raise
-        class tot:  # noqa: N801 - row stand-in
-            d = s = e = 0
+    # record_bucketing wrote a lineage row at run start, so the lineage
+    # table always exists here; any read failure is a REAL error
+    # (transient FS/parquet fault after buckets committed) and must
+    # propagate rather than silently report doc_count=0 for a
+    # successful run.
+    ldf = lin.read_lineage(spark, output_dir)
+    tot = ldf.filter(F.col("status") == "committed").agg(
+        F.sum("doc_count").alias("d"),
+        F.sum("span_count").alias("s"),
+        F.sum("error_count").alias("e"),
+    ).collect()[0]
     return RunResult(
         snapshot_id=snapshot_id,
         buckets_total=n_buckets,

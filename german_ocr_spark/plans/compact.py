@@ -105,7 +105,18 @@ def _file_sizes(
             rel = os.path.join(d, st.getPath().getName()) if d else st.getPath().getName()
             if rel in wanted:
                 sizes[rel] = int(st.getLen())
-    return [(rel, sizes[rel]) for rel in rel_files if rel in sizes]
+    missing = wanted - sizes.keys()
+    if missing:
+        # a manifest-referenced file absent from the listing means the
+        # manifest and data diverged (external deletion, partial
+        # restore) — planning compaction over the survivors would
+        # silently bless the divergence; surface it instead.
+        raise FileNotFoundError(
+            "committed manifest references data files missing on disk: "
+            + ", ".join(sorted(missing)[:10])
+            + (f" (+{len(missing) - 10} more)" if len(missing) > 10 else "")
+        )
+    return [(rel, sizes[rel]) for rel in rel_files]
 
 
 def compact(

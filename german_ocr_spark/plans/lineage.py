@@ -112,15 +112,65 @@ def _list_data_files(spark: SparkSession, output_dir: str) -> set[str]:
     return out
 
 
+def _append_lineage_local(path: str, rows: list) -> None:
+    """Driver-side manifest write: one parquet file materialized with
+    pyarrow and published by an atomic rename (dot-prefixed temp names
+    are invisible to Spark's parquet reader until the rename). The
+    schema mirrors LINEAGE_SCHEMA field for field, so directories mix
+    driver-written and Spark-written files transparently."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            pa.field("snapshot_id", pa.string()),
+            pa.field("bucket_id", pa.int32()),
+            pa.field("doc_count", pa.int64()),
+            pa.field("span_count", pa.int64()),
+            pa.field("error_count", pa.int64()),
+            pa.field("status", pa.string()),
+            pa.field("committed_at", pa.string()),
+            pa.field("files", pa.list_(pa.string())),
+        ]
+    )
+    cols = list(zip(*rows)) if rows else [[] for _ in schema]
+    table = pa.table(
+        {f.name: pa.array(c, type=f.type) for f, c in zip(schema, cols)}
+    )
+    os.makedirs(path, exist_ok=True)
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(path, f".{name}.tmp")
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, os.path.join(path, name))
+
+
 def append_lineage(spark: SparkSession, output_dir: str, rows: list) -> None:
     """THE one spelling of a lineage append (rows of LINEAGE_SCHEMA,
-    one coalesced file per append) — every commit point in this module
-    and in plans.compact / plans.delete / plans.upsert goes through
-    here, so commit mechanics (schema evolution, write options) change
-    in exactly one place."""
+    one file per append) — every commit point in this module and in
+    plans.compact / plans.delete / plans.upsert goes through here, so
+    commit mechanics (schema evolution, write options) change in
+    exactly one place.
+
+    Commit metadata is DRIVER-side state, so on a local/posix path the
+    row is written directly with pyarrow + atomic rename — the Iceberg
+    model, where manifest writes are library calls, never cluster
+    jobs. The previous spelling scheduled a one-task Spark job
+    (``coalesce(1)``) per commit: ~1-2 s of pure job-scheduling
+    latency that serialized every commit group and was the measured
+    Amdahl tail in the round-3 full-job scaling runs. Non-posix paths
+    (hdfs://, s3a://, ...) keep the Spark write, which resolves the
+    scheme through the cluster's Hadoop FS."""
+    path = lineage_path(output_dir)
+    from urllib.parse import urlparse
+
+    if urlparse(path).scheme in ("", "file"):
+        _append_lineage_local(path.removeprefix("file:"), rows)
+        return
     spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).coalesce(1).write.mode(
         "append"
-    ).parquet(lineage_path(output_dir))
+    ).parquet(path)
 
 
 def record_bucketing(
@@ -145,18 +195,36 @@ def record_bucketing(
 
 def recorded_bucketing(spark: SparkSession, output_dir: str) -> int | None:
     """The durably recorded bucket count, or None for a fresh/legacy
-    table (legacy tables adopt the next run's value)."""
+    table (legacy tables adopt the next run's value).
+
+    record_bucketing is check-then-write (no FS-level atomicity), so two
+    concurrent FIRST runs can both append a ``bucketing`` row. Resolve
+    deterministically — the row with the smallest
+    (committed_at, snapshot_id) wins — and raise when the surviving rows
+    disagree on the count: a table whose committed buckets were written
+    modulo two different n_buckets is corrupt, and adopting either count
+    silently duplicates or drops documents on resume."""
     try:
         ldf = read_lineage(spark, output_dir)
     except Exception:
         return None
     rows = (
         ldf.filter(F.col("status") == "bucketing")
-        .select("doc_count")
-        .limit(1)
+        .select("doc_count", "committed_at", "snapshot_id")
         .collect()
     )
-    return int(rows[0].doc_count) if rows else None
+    if not rows:
+        return None
+    counts = {int(r.doc_count) for r in rows}
+    if len(counts) > 1:
+        raise ValueError(
+            "conflicting 'bucketing' lineage rows record distinct bucket "
+            f"counts {sorted(counts)} for {output_dir!r}: concurrent first "
+            "runs raced record_bucketing; the table's committed set is "
+            "ambiguous and must be repaired manually"
+        )
+    first = min(rows, key=lambda r: (r.committed_at, r.snapshot_id))
+    return int(first.doc_count)
 
 
 def committed_buckets(spark: SparkSession, output_dir: str) -> set[int]:

@@ -128,3 +128,55 @@ def test_model_catalog_parity(client):
     assert df.columns == ["key", "name", "display", "stage", "description"]
     by_key = {r.key: r.name for r in df.collect()}
     assert by_key["html"] == "kernel/html-boilerplate"
+
+
+def test_get_usage_rollup(client, spark):
+    """get_usage parity (reference cloud_client.py:531-534): one row
+    per job with committed totals that MATCH the jobs' own results,
+    and a terminal status derived from the lineage alone."""
+    # empty workdir → empty report with the full schema
+    empty = client.get_usage()
+    assert empty.count() == 0
+    assert empty.columns == [
+        "job_id", "status", "buckets_done", "buckets_total",
+        "doc_count", "span_count", "error_count", "n_files",
+        "first_commit_at", "last_commit_at",
+    ]
+
+    raw_a, raw_b = synth_docs(30, seed=3), synth_docs(12, seed=4)
+    # lineage doc_count meters documents that produced extracted spans;
+    # zero-span docs (the synth corpus plants some) contribute nothing
+    n_a = sum(1 for _, spans in raw_a if spans)
+    n_b = sum(1 for _, spans in raw_b if spans)
+    out_a = client.analyze(docs_to_spark(spark, raw_a), n_buckets=4,
+                           max_wait=300)
+    out_b = client.analyze(docs_to_spark(spark, raw_b), n_buckets=2,
+                           max_wait=300)
+
+    rows = {r.job_id: r for r in client.get_usage().collect()}
+    assert len(rows) == 2
+    a, b = sorted(rows)
+    assert rows[a].status == "completed" and rows[b].status == "completed"
+    assert rows[a].buckets_done == rows[a].buckets_total == 4
+    assert rows[b].buckets_done == rows[b].buckets_total == 2
+    assert rows[a].doc_count == n_a and rows[b].doc_count == n_b
+    assert rows[a].span_count == out_a.count()
+    assert rows[b].span_count == out_b.count()
+    assert rows[a].n_files > 0
+    assert rows[a].first_commit_at <= rows[a].last_commit_at
+
+
+def test_get_balance_stand_in(client, spark):
+    """get_balance parity (cloud_client.py:527-529): the method exists
+    with the reference dict shape, reports an EXPLICIT null balance
+    (no invented credit), and meters real processed totals."""
+    bal0 = client.get_balance()
+    assert bal0["balance"] is None and bal0["currency"] == "EUR"
+    assert bal0["jobs"] == 0 and bal0["documents_processed"] == 0
+
+    raw = synth_docs(8, seed=5)
+    client.analyze(docs_to_spark(spark, raw), n_buckets=2, max_wait=300)
+    bal = client.get_balance()
+    assert bal["jobs"] == 1
+    assert bal["documents_processed"] == sum(1 for _, s in raw if s)
+    assert bal["spans_processed"] > 0

@@ -28,6 +28,7 @@ _spec.loader.exec_module(make_golden)
         ("q38_summary.parquet", "q38_golden"),
         ("q30_summary.parquet", "q30_golden"),
         ("q110_pairs.parquet", "q110_golden"),
+        ("q234_blocks.parquet", "q234_golden"),
     ],
 )
 def test_committed_golden_matches_kernels(name, builder):

@@ -186,7 +186,6 @@ GLOBAL_WINDOWS = {
     "q186_histogram_quantiles": 2,# cumulative cuts + quantile probe over the merged histogram
     "q207_rbo_rankings": 2,       # two rankings over the candidate relation
     "q213_funnel_latency": 2,     # percentile windows over the bounded minute histogram
-    "q226_user_concentration": 2, # Lorenz rank + totals over the user-sized relation (users ≪ events)
     "q228_posting_cap_audit": 4,  # per-term impact ranks + both top-k picks over the 3-term candidate relation (index-build work)
 }
 

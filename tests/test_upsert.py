@@ -164,12 +164,8 @@ def test_snapshot_diff_detects_null_field_swap(spark, tmp_path):
     base = spark.createDataFrame(
         [("doc-x", 0, "image", None, "ref://a", None, None)], schema
     )
-    pipeline.run(spark, base.select("doc_id", "order", "kind", "text",
-                                    "media_ref").withColumn(
-        "spans", F.lit(None)).drop("spans""").drop("x") if False else base,
-        out, n_buckets=1, committed_at=T0) if False else None
-    # build the table via upsert onto an empty dir is not supported;
-    # commit the base row as a normal lineage group instead
+    # upsert onto an empty dir is not supported; commit the base row as
+    # a normal lineage group instead
     from german_ocr_spark.plans import lineage as lin2
 
     data_dir = str(tmp_path / "out/data/base-g00000")

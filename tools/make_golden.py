@@ -179,6 +179,14 @@ def q110_golden() -> pd.DataFrame:
     return pdf
 
 
+def q234_golden() -> pd.DataFrame:
+    """Per-block bounding boxes (v2 document-intelligence template) over
+    the q32 corpus via the SAME parse + XY-cut kernels, single-node."""
+    from german_ocr_spark.operators.docintel import golden_docintel
+
+    return golden_docintel(synth_docs(Q32_N_DOCS, seed=Q32_SEED))
+
+
 def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name, pdf in (
@@ -186,6 +194,7 @@ def main() -> None:
         ("q38_summary.parquet", q38_golden()),
         ("q30_summary.parquet", q30_golden()),
         ("q110_pairs.parquet", q110_golden()),
+        ("q234_blocks.parquet", q234_golden()),
     ):
         out = os.path.join(GOLDEN_DIR, name)
         pdf.to_parquet(out, index=False, compression="zstd")
