@@ -147,3 +147,19 @@ def test_snapshot_id_is_single_use(spark, docs, tmp_path):
         _sorted_pdf(pipeline.read_output(spark, out)), before,
         check_dtype=False,
     )
+
+
+def test_compact_raises_on_manifest_disk_divergence(spark, docs, tmp_path):
+    """A manifest-referenced data file missing from the directory
+    listing means the manifest and disk diverged (external deletion,
+    partial restore). Compaction planning must surface that loudly —
+    silently planning over the survivors would bless the divergence."""
+    out = str(tmp_path / "out")
+    pipeline.run(
+        spark, docs_to_spark(spark, docs), out, n_buckets=4,
+        bucket_group_size=1,
+    )
+    victim = sorted(lin.committed_files(spark, out))[0]
+    os.remove(victim)
+    with pytest.raises(FileNotFoundError, match="missing on disk"):
+        cp.compact(spark, out, target_bytes=1 << 30)

@@ -197,3 +197,57 @@ def test_read_output_merges_mixed_file_schemas(spark, docs, tmp_path):
     if n_codes:
         assert int(got["error_code"].notna().sum()) == n_codes
     assert got.loc[got.doc_id == "legacy-doc", "error_code"].isna().all()
+
+
+def test_conflicting_bucketing_rows_raise(spark, docs, tmp_path):
+    """record_bucketing is check-then-write; two concurrent FIRST runs
+    can both append a 'bucketing' row. Same recorded count: the table
+    is fine and the earliest row wins silently. DIFFERENT counts: the
+    committed set is ambiguous modulo two moduli and every resume path
+    must refuse loudly rather than adopt either."""
+    out = str(tmp_path / "out")
+    lin.record_bucketing(spark, out, 8, "run-a", "2026-01-01T00:00:00Z")
+    lin.record_bucketing(spark, out, 8, "run-b", "2026-01-02T00:00:00Z")
+    assert lin.recorded_bucketing(spark, out) == 8  # agreeing twins OK
+    lin.record_bucketing(spark, out, 32, "run-c", "2026-01-03T00:00:00Z")
+    with pytest.raises(ValueError, match="conflicting 'bucketing'"):
+        lin.recorded_bucketing(spark, out)
+    with pytest.raises(ValueError, match="conflicting 'bucketing'"):
+        pipeline.run(spark, docs_to_spark(spark, docs), out, n_buckets=8)
+
+
+def test_lineage_append_mixes_with_spark_written_files(spark, docs, tmp_path):
+    """The driver-side pyarrow manifest write (round-4 commit path) must
+    interoperate file-for-file with Spark-written lineage parquet: a
+    directory containing both kinds reads back as one table with
+    identical row content through the schema-enforced reader."""
+    out = str(tmp_path / "out")
+    # driver-side path (posix default)
+    lin.append_lineage(
+        spark, out,
+        [("snap-a", 0, 10, 20, 1, "committed", "2026-01-01T00:00:00Z",
+          ["snap-a-g00000/part-0.parquet"])],
+    )
+    # force the Spark write path for the second row (what an hdfs://
+    # or s3a:// deployment would produce)
+    from german_ocr_spark.schema import LINEAGE_SCHEMA
+
+    spark.createDataFrame(
+        [("snap-b", 1, 30, 40, 0, "committed", "2026-01-02T00:00:00Z",
+          ["snap-b-g00001/part-0.parquet"])],
+        schema=LINEAGE_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(lin.lineage_path(out))
+
+    rows = {
+        r.snapshot_id: r
+        for r in lin.read_lineage(spark, out).collect()
+    }
+    assert set(rows) == {"snap-a", "snap-b"}
+    assert rows["snap-a"].doc_count == 10
+    assert rows["snap-a"].files == ["snap-a-g00000/part-0.parquet"]
+    assert rows["snap-b"].span_count == 40
+    # and the committed-files resolver unions across both writers
+    files = lin.committed_files(spark, out)
+    assert {f.split("/")[-2] for f in files} == {
+        "snap-a-g00000", "snap-b-g00001"
+    }
