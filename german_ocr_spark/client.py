@@ -378,10 +378,10 @@ class GermanOCRSpark:
         )
         if not jobs:
             return self._spark.createDataFrame([], ddl)
+        from .plans import lineage as lin
+
         parts = []
         for job_id, n_buckets in jobs:
-            from .plans import lineage as lin
-
             ldf = lin.read_lineage(
                 self._spark, os.path.join(self._workdir, job_id)
             )

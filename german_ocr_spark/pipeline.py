@@ -87,6 +87,7 @@ def run(
     committed_at: str = "1970-01-01T00:00:00Z",
     max_groups: int | None = None,
     on_progress: Callable[[JobProgress], None] | None = None,
+    stage_dir: str | None = None,
 ) -> RunResult:
     """Extract ``docs`` (doc_id, spans) into ``output_dir`` with
     checkpointed bucket commits.
@@ -99,6 +100,19 @@ def run(
     on_progress: called after every commit group with cumulative counts
         (A16); lineage rows land at the same moments, so an independent
         reader polling ``status()`` sees the same monotone stream.
+    stage_dir: the 100 TB path for fine-grained (multi-group) runs.
+        Default (None) caches the bucketed scan via ``persist()`` — fine
+        when the corpus fits cluster storage, impossible at 10^12 docs.
+        With a path, the bucketed corpus is written ONCE,
+        bucket-partitioned, to ``stage_dir`` (object-store capable), and
+        every commit group reads back only its buckets via partition
+        pruning — the one-scan property without any executor-memory
+        footprint, at the price of one staging write (the standard
+        shuffle-to-storage trade every warehouse staging layer makes).
+        The staging dir is removed on successful completion and is safe
+        to delete after a kill (a rerun rebuilds it from ``docs``).
+        Single-group runs never need staging (the corpus is scanned
+        once regardless).
 
     All jobs run under the ``lin.job_group_id(snapshot_id)`` job group,
     so ``cancel(spark, output_dir, snapshot_id)`` from another thread
@@ -161,12 +175,25 @@ def run(
     )
     # Fine-grained resume must not rescan the full corpus once per
     # commit group: materialize the bucketed scan once and let every
-    # group filter the cached copy. (At cluster scale with a corpus far
-    # beyond cluster storage, replace with a one-time bucket-partitioned
-    # staging write; same one-scan property.)
-    persisted = len(groups) > 1
-    if persisted:
-        docs_b = docs_b.persist()
+    # group filter the materialized copy. Two materializations exist —
+    # persist() (default; corpus must fit cluster storage) and the
+    # bucket-partitioned staging write (stage_dir; the 10^12-doc path,
+    # where each group's read partition-prunes to exactly its buckets).
+    persisted = staged = False
+    if len(groups) > 1:
+        if stage_dir is not None:
+            # a resume stages only the pending buckets — committed
+            # ones are never read again
+            docs_b.filter(
+                F.col("bucket_id").isin(pending)
+            ).write.mode("overwrite").partitionBy(
+                "bucket_id"
+            ).parquet(stage_dir)
+            docs_b = spark.read.parquet(stage_dir)
+            staged = True
+        else:
+            docs_b = docs_b.persist()
+            persisted = True
     try:
         processed = 0
         cum_d = cum_s = cum_e = 0
@@ -204,6 +231,15 @@ def run(
         if persisted:
             docs_b.unpersist()
         sc.setJobGroup("", "")
+    if staged:
+        # all groups committed — the staging copy is dead weight now.
+        # Best-effort via the Hadoop FS API (works on object stores);
+        # a leftover dir after a crash is harmless (rerun overwrites).
+        try:
+            fs, p = lin._hadoop_fs(spark, stage_dir)
+            fs.delete(p, True)
+        except Exception:
+            pass
 
     # record_bucketing wrote a lineage row at run start, so the lineage
     # table always exists here; any read failure is a REAL error

@@ -251,3 +251,45 @@ def test_lineage_append_mixes_with_spark_written_files(spark, docs, tmp_path):
     assert {f.split("/")[-2] for f in files} == {
         "snap-a-g00000", "snap-b-g00001"
     }
+
+
+def test_staged_multi_group_run_matches_persist_path(spark, docs, tmp_path):
+    """stage_dir (the 10^12-doc path for fine-grained runs: one
+    bucket-partitioned staging write, per-group partition-pruned reads,
+    no executor-memory persist) must produce the identical table,
+    resume identically, prune its per-group scans, and clean the
+    staging copy up on completion."""
+    import os as _os
+
+    out_p = str(tmp_path / "out_persist")
+    out_s = str(tmp_path / "out_staged")
+    stage = str(tmp_path / "stage")
+    sdf = docs_to_spark(spark, docs)
+
+    pipeline.run(spark, sdf, out_p, n_buckets=8, bucket_group_size=3)
+    # killed-after-first-group simulation on the staged path, then resume
+    pipeline.run(spark, sdf, out_s, n_buckets=8, bucket_group_size=3,
+                 max_groups=1, stage_dir=stage)
+    res = pipeline.run(spark, sdf, out_s, n_buckets=8,
+                       bucket_group_size=3, stage_dir=stage)
+    assert res.buckets_skipped == 3 and res.buckets_processed == 5
+
+    a = _sorted_pdf(pipeline.read_output(spark, out_p))
+    b = _sorted_pdf(pipeline.read_output(spark, out_s))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # staging dir removed after the successful completing run
+    assert not _os.path.exists(stage)
+
+    # the per-group read actually partition-prunes: re-stage and check
+    # the scan of one group's subset carries a bucket partition filter
+    sdf.withColumn("bucket_id", lin.bucket_col(8)).write.mode(
+        "overwrite"
+    ).partitionBy("bucket_id").parquet(stage)
+    staged = spark.read.parquet(stage)
+    plan = (
+        staged.filter(F.col("bucket_id").isin([0, 1, 2]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "bucket_id" in plan
