@@ -36,6 +36,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--salt-partitions", type=int, default=None,
                    help="spread heavy multi-page docs over N partitions")
     p.add_argument("--snapshot-id", default="snap-0001")
+    p.add_argument("--stage-dir", default=None,
+                   help="bucket-partitioned staging dir for multi-group"
+                   " runs (the 10^12-doc path: per-group reads"
+                   " partition-prune instead of persist())")
     p.add_argument("--cores", default=None,
                    help="local[N] threads (ignored under spark-submit)")
     args = p.parse_args(argv)
@@ -54,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
         bucket_group_size=args.bucket_group_size,
         salt_partitions=args.salt_partitions,
         snapshot_id=args.snapshot_id,
+        stage_dir=args.stage_dir,
     )
     print(json.dumps(res.__dict__))
     spark.stop()
