@@ -11,6 +11,7 @@ the same method names and semantics.
 | ``CloudClient.wait_for_result`` (cloud_client.py:415-462) | ``wait_for_result`` | poll loop with ``poll_interval`` / ``max_wait`` / ``on_progress`` callback; raises on failure, ``TimeoutError`` past ``max_wait`` |
 | ``CloudClient.cancel_job`` (cloud_client.py:399-413) | ``cancel_job`` | swallow-to-False contract |
 | ``CloudClient.analyze`` (cloud_client.py:464-526) | ``analyze`` | submit + wait composite |
+| ``/v2/analyze`` + ``/v2/models`` (README.md:241-274,321-322 — contract only, no reference code) | ``analyze_v2`` / ``list_v2_templates`` | synchronous structured extraction per template (general/invoice/delivery-notes/document-intelligence) — same field builders the oracle-checked q91/q233/q234/q235 validate |
 | ``CloudClient.get_usage`` (cloud_client.py:531-534) | ``get_usage`` | usage statistics — here a per-job lineage rollup DataFrame |
 | ``CloudClient.get_balance`` (cloud_client.py:527-529) | ``get_balance`` | dict with explicit null balance (no billing account in-process) + processed totals |
 | context manager (cloud_client.py / tests:268-275) | ``with GermanOCRSpark(...)`` | usable in ``with`` blocks |
@@ -344,6 +345,64 @@ class GermanOCRSpark:
             max_wait=max_wait,
             on_progress=on_progress,
         )
+
+    # ------------------------------------------------ v2 sync templates
+    def list_v2_templates(self) -> DataFrame:
+        """The v2 template catalog as a 4-row dimension DataFrame —
+        the reference's ``/v2/models`` endpoint (README.md:322) in the
+        same Spark shape as ``list_models()``."""
+        from .functions.templates import V2_TEMPLATES
+
+        rows = [
+            (k, v["description"], v["key_fields"])
+            for k, v in sorted(V2_TEMPLATES.items())
+        ]
+        return self._spark.createDataFrame(
+            rows, "template string, description string, key_fields string"
+        )
+
+    def analyze_v2(
+        self, docs: DataFrame, template: str = "general"
+    ) -> DataFrame:
+        """Synchronous structured extraction — the reference's
+        ``/v2/analyze`` premium endpoint (README.md:241-274: 'returns
+        structured JSON instantly — no job polling needed'). Runs the
+        extraction pipeline over ``docs`` (doc_id, spans), assembles
+        each document's text in span order, and applies the requested
+        template's field builders (``functions/templates.py`` — the
+        SAME Column expressions the oracle-checked q91/q233/q235
+        validate); ``document-intelligence`` routes to the per-block
+        bbox operator instead (text is not its output shape). Returns
+        the fields DataFrame directly — no lineage, no polling; at any
+        scale this is one map-only pass after the extract stage."""
+        from .functions.templates import TEMPLATE_FIELDS, V2_TEMPLATES
+
+        if template not in V2_TEMPLATES:
+            raise ValueError(
+                f"unknown v2 template {template!r}; expected one of "
+                f"{sorted(V2_TEMPLATES)} (the reference rejects unknown "
+                "templates server-side)"
+            )
+        if template == "document-intelligence":
+            from .operators.docintel import document_intelligence
+
+            return document_intelligence(docs)
+        texts = (
+            extract_pipeline(docs)
+            .groupBy("doc_id")
+            .agg(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("order", "text"))
+                        ),
+                        lambda s: s["text"],
+                    ),
+                ).alias("txt")
+            )
+        )
+        return texts.select("doc_id", *TEMPLATE_FIELDS[template]("txt"))
 
     # ------------------------------------------------ usage accounting
     def get_usage(self) -> DataFrame:

@@ -180,3 +180,82 @@ def test_get_balance_stand_in(client, spark):
     assert bal["jobs"] == 1
     assert bal["documents_processed"] == sum(1 for _, s in raw if s)
     assert bal["spans_processed"] > 0
+
+
+def test_analyze_v2_templates(client, spark):
+    """/v2/analyze parity (reference README.md:241-274): synchronous
+    per-template structured extraction over real documents, using the
+    SAME field builders the oracle-checked q91/q233/q235 validate."""
+    from pyspark.sql import functions as F
+
+    from german_ocr_spark.schema import DOCUMENTS_SPANS_SCHEMA
+
+    inv_txt = (
+        "Rechnung Nr. RE-2024-77 vom 05.03.2024 Kundennr. 9 "
+        "Gesamtbetrag: 1.234,56 EUR"
+    )
+    dn_txt = (
+        "Lieferschein Nr. LS-2024-8 vom 12.01.2024 Empfaenger: Firma "
+        "Müller GmbH Positionen: 3x Artikel A-101; 5x Artikel A-102"
+    )
+    lt_txt = (
+        "Schreiben von Absender: Firma Weber KG vom 01.02.2024 IBAN: "
+        "DE44123456781234567890 Betreff: Vertragsunterlagen"
+    )
+    docs = spark.createDataFrame(
+        [
+            ("inv", [("text", inv_txt, "", 0)]),
+            ("dn", [("text", dn_txt, "", 0)]),
+            ("lt", [("text", lt_txt, "", 0)]),
+        ],
+        schema=DOCUMENTS_SPANS_SCHEMA,
+    )
+
+    inv = client.analyze_v2(docs, template="invoice").filter(
+        F.col("doc_id") == "inv"
+    ).first()
+    assert inv.invoice_no == "RE-2024-77"
+    assert inv.invoice_date == "2024-03-05"
+    assert inv.amount_cents == 123456
+
+    dn = client.analyze_v2(docs, template="delivery-notes").filter(
+        F.col("doc_id") == "dn"
+    ).first()
+    assert dn.beleg_no == "LS-2024-8"
+    assert dn.beleg_date == "2024-01-12"
+    assert dn.empfaenger == "Firma Müller GmbH"
+    assert dn.n_positionen == 2 and dn.qty_total == 8
+
+    gen = {r.doc_id: r for r in client.analyze_v2(docs).collect()}
+    assert gen["inv"].document_type == "invoice"
+    assert gen["dn"].document_type == "delivery-notes"
+    assert gen["lt"].document_type == "general"
+    assert gen["lt"].iban == "DE44123456781234567890"
+    assert gen["lt"].sender == "Firma Weber KG"
+    assert gen["inv"].amount_cents == 123456
+    assert gen["dn"].amount_cents is None
+
+    with pytest.raises(ValueError, match="unknown v2 template"):
+        client.analyze_v2(docs, template="not-a-template")
+
+    cat = {r.template for r in client.list_v2_templates().collect()}
+    assert cat == {
+        "general", "invoice", "delivery-notes", "document-intelligence"
+    }
+
+
+def test_analyze_v2_document_intelligence_route(client, spark):
+    from german_ocr_spark.kernels.parse import serialize_records
+    from german_ocr_spark.schema import DOCUMENTS_SPANS_SCHEMA
+
+    blocks = serialize_records(
+        [[1, 50.0, 20.0, 550.0, 35.0, "kopf"],
+         [1, 50.0, 60.0, 550.0, 90.0, "rumpf"]]
+    )
+    docs = spark.createDataFrame(
+        [("d", [("pdf", blocks, "", 0)])], schema=DOCUMENTS_SPANS_SCHEMA
+    )
+    out = client.analyze_v2(docs, template="document-intelligence")
+    rows = sorted(out.collect(), key=lambda r: r.block_rank)
+    assert [r.text for r in rows] == ["kopf", "rumpf"]
+    assert rows[0].x1 == 550.0 and rows[0].page == 1
