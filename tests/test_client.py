@@ -1,8 +1,10 @@
 """Reference-API parity facade (client.py): the german-ocr method
 surface — extract / extract_batch / submit / get_job /
-wait_for_result / cancel_job / analyze / context manager — behaves
-like the reference over the Spark engine (order preservation, error
-isolation, poll-loop semantics, swallow-to-False cancel)."""
+wait_for_result / cancel_job / analyze / get_usage / get_balance /
+analyze_v2 / list_v2_templates / context manager — behaves like the
+reference over the Spark engine (order preservation, error isolation,
+poll-loop semantics, swallow-to-False cancel, lineage-rollup usage,
+synchronous per-template structured extraction)."""
 
 from __future__ import annotations
 
