@@ -28,10 +28,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _last_driver_checked() -> dict[str, int]:
     """Map query name → the most recent round whose CORRECTNESS_r*.json
-    recorded a driver hash check for it (absent = never checked).
+    recorded a fully-GREEN driver hash check for it (rows + schema +
+    hash all true; absent = never green-checked).
 
     Read from the driver's own artifacts in this directory, so the
-    ordering below is data-driven rather than a hand-tuned pivot."""
+    ordering below is data-driven rather than a hand-tuned pivot.
+    Only green checks count (round-4 ADVICE): a query whose most
+    recent driver check FAILED must re-enter the sampled region
+    immediately — treating a failed check as 'checked' rotated
+    round-1's q30/q32/q38 failures to the back of the order and left
+    their fixes driver-unverified for three rounds."""
     here = os.path.dirname(os.path.abspath(__file__))
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
@@ -44,8 +50,14 @@ def _last_driver_checked() -> dict[str, int]:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
-        if isinstance(data, dict):
-            for name in data:
+        if not isinstance(data, dict):
+            continue
+        for name, res in data.items():
+            green = isinstance(res, dict) and all(
+                res.get(k) is True
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            if green:
                 last[name] = max(last.get(name, 0), rnd)
     return last
 

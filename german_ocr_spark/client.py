@@ -440,14 +440,31 @@ class GermanOCRSpark:
         from .plans import lineage as lin
 
         parts = []
+        # A job submitted but not yet through its first lineage append
+        # (or one that crashed before record_bucketing) has no _lineage
+        # dir; read_lineage raises for it. That job is simply
+        # 'pending' — it must not fail the whole workdir-wide report
+        # (round-4 ADVICE finding; pipeline.status() degrades the same
+        # way).
+        pending_rows: list[tuple] = []
         for job_id, n_buckets in jobs:
-            ldf = lin.read_lineage(
-                self._spark, os.path.join(self._workdir, job_id)
-            )
+            try:
+                ldf = lin.read_lineage(
+                    self._spark, os.path.join(self._workdir, job_id)
+                )
+            except Exception:
+                pending_rows.append(
+                    (job_id, "pending", 0, n_buckets, 0, 0, 0, 0, None, None)
+                )
+                continue
             parts.append(
                 ldf.withColumn("job_id", F.lit(job_id)).withColumn(
                     "buckets_total", F.lit(n_buckets)
                 )
+            )
+        if not parts:
+            return self._spark.createDataFrame(pending_rows, ddl).orderBy(
+                "job_id"
             )
         allj = parts[0]
         for p in parts[1:]:
@@ -475,17 +492,27 @@ class GermanOCRSpark:
             F.max(F.when(com, F.col("committed_at"))).alias(
                 "last_commit_at"
             ),
-            F.max(
-                F.when(F.col("status") == "cancelled", 1).otherwise(0)
+            # status MUST agree with pipeline.status() (round-4 ADVICE):
+            # cancelled iff cancel rows OUTNUMBER resume rows (a resumed
+            # run durably clears intent — lin.mark_resumed), and a job
+            # cancelled mid-run but resumed to completion is 'completed'
+            # — completed takes precedence in the CASE below.
+            (
+                F.sum(
+                    F.when(F.col("status") == "cancelled", 1).otherwise(0)
+                )
+                > F.sum(
+                    F.when(F.col("status") == "resumed", 1).otherwise(0)
+                )
             ).alias("_cancelled"),
         )
-        return agg.select(
+        usage = agg.select(
             "job_id",
-            F.when(F.col("_cancelled") == 1, F.lit("cancelled"))
-            .when(
+            F.when(
                 F.col("buckets_done") >= F.col("buckets_total"),
                 F.lit("completed"),
             )
+            .when(F.col("_cancelled"), F.lit("cancelled"))
             .when(F.col("buckets_done") > 0, F.lit("processing"))
             .otherwise(F.lit("pending"))
             .alias("status"),
@@ -497,7 +524,12 @@ class GermanOCRSpark:
             "n_files",
             "first_commit_at",
             "last_commit_at",
-        ).orderBy("job_id")
+        )
+        if pending_rows:
+            usage = usage.unionByName(
+                self._spark.createDataFrame(pending_rows, ddl)
+            )
+        return usage.orderBy("job_id")
 
     def get_balance(self) -> dict:
         """Account balance — the reference's ``get_balance``

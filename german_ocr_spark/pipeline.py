@@ -189,7 +189,12 @@ def run(
             ).write.mode("overwrite").partitionBy(
                 "bucket_id"
             ).parquet(stage_dir)
-            docs_b = spark.read.parquet(stage_dir)
+            # explicit schema: a pending-bucket filter that wrote ZERO
+            # rows (empty corpus under a multi-group bucket_group_size)
+            # leaves no footer to infer from — schema inference would
+            # fail the whole run where the persist() path handles the
+            # same input fine (round-4 ADVICE finding)
+            docs_b = spark.read.schema(docs_b.schema).parquet(stage_dir)
             staged = True
         else:
             docs_b = docs_b.persist()

@@ -146,6 +146,26 @@ def _append_lineage_local(path: str, rows: list) -> None:
     os.replace(tmp, os.path.join(path, name))
 
 
+def _local_posix_path(spark: SparkSession, path: str) -> str | None:
+    """Resolve ``path`` through the session's Hadoop filesystem and
+    return its posix path IFF it lands on the local FS, else None.
+
+    This is the one classifier deciding driver-side pyarrow manifest
+    writes vs cluster Spark writes, and it must agree with how Spark
+    itself resolves the same string: ``Path.getFileSystem`` applies
+    ``fs.defaultFS`` to scheme-less paths exactly as every reader
+    does. Any resolution failure returns None — the Spark write path
+    is always correct, just slower."""
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.getScheme() != "file":
+            return None
+        return fs.makeQualified(jpath).toUri().getPath()
+    except Exception:
+        return None
+
+
 def append_lineage(spark: SparkSession, output_dir: str, rows: list) -> None:
     """THE one spelling of a lineage append (rows of LINEAGE_SCHEMA,
     one file per append) — every commit point in this module and in
@@ -161,12 +181,20 @@ def append_lineage(spark: SparkSession, output_dir: str, rows: list) -> None:
     latency that serialized every commit group and was the measured
     Amdahl tail in the round-3 full-job scaling runs. Non-posix paths
     (hdfs://, s3a://, ...) keep the Spark write, which resolves the
-    scheme through the cluster's Hadoop FS."""
-    path = lineage_path(output_dir)
-    from urllib.parse import urlparse
+    scheme through the cluster's Hadoop FS.
 
-    if urlparse(path).scheme in ("", "file"):
-        _append_lineage_local(path.removeprefix("file:"), rows)
+    Local-vs-cluster is decided by the RESOLVED Hadoop filesystem —
+    never by string-parsing the path: a scheme-less path resolves
+    through ``fs.defaultFS``, so on a cluster with
+    ``defaultFS=hdfs://`` it is NOT local, and a urlparse-based check
+    would write manifests to driver-local disk while every reader
+    (read_lineage, committed_files) resolves them through HDFS —
+    commits silently invisible, resume reprocessing everything
+    (round-4 ADVICE finding)."""
+    path = lineage_path(output_dir)
+    local = _local_posix_path(spark, path)
+    if local is not None:
+        _append_lineage_local(local, rows)
         return
     spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).coalesce(1).write.mode(
         "append"

@@ -261,3 +261,58 @@ def test_analyze_v2_document_intelligence_route(client, spark):
     rows = sorted(out.collect(), key=lambda r: r.block_rank)
     assert [r.text for r in rows] == ["kopf", "rumpf"]
     assert rows[0].x1 == 550.0 and rows[0].page == 1
+
+
+def test_get_usage_status_parity_with_get_job(client, spark, tmp_path):
+    """get_usage must derive status with EXACTLY pipeline.status()'s
+    arithmetic (round-4 ADVICE): completed takes precedence, and
+    cancelled counts only when cancel rows OUTNUMBER resume rows — a
+    job cancelled mid-run then resumed to completion reports
+    'completed' through BOTH get_job and get_usage."""
+    import os
+
+    from german_ocr_spark.plans import lineage as lin
+
+    raw = synth_docs(10, seed=7)
+    client.analyze(docs_to_spark(spark, raw), n_buckets=2, max_wait=300)
+    job_id = sorted(
+        n for n in os.listdir(client._workdir)
+        if os.path.isfile(os.path.join(client._workdir, n, "_job.json"))
+    )[0]
+    out = os.path.join(client._workdir, job_id)
+    # cancel intent recorded, then a resume durably cleared it
+    lin.mark_cancelled(spark, out, "snap-x", "2026-01-01T00:00:00Z")
+    lin.mark_resumed(spark, out, "snap-x", "2026-01-01T00:01:00Z")
+    assert client.get_job(job_id).status == "completed"
+    row = client.get_usage().collect()[0]
+    assert row.status == "completed"
+    # an OUTSTANDING cancel on an incomplete job still reports cancelled
+    lin.mark_cancelled(spark, out, "snap-y", "2026-01-02T00:00:00Z")
+    assert client.get_usage().collect()[0].status == "completed"  # done wins
+
+
+def test_get_usage_tolerates_job_without_lineage(client, spark):
+    """A job submitted but not yet through record_bucketing has a
+    _job.json and no _lineage dir; the workdir-wide report must list
+    it as 'pending' with zero counts instead of raising (round-4
+    ADVICE)."""
+    import json
+    import os
+
+    raw = synth_docs(6, seed=8)
+    client.analyze(docs_to_spark(spark, raw), n_buckets=2, max_wait=300)
+    ghost = os.path.join(client._workdir, "job-ghost")
+    os.makedirs(ghost, exist_ok=True)
+    with open(os.path.join(ghost, "_job.json"), "w") as fh:
+        json.dump({"job_id": "job-ghost", "n_buckets": 8}, fh)
+    rows = {r.job_id: r for r in client.get_usage().collect()}
+    assert len(rows) == 2
+    g = rows["job-ghost"]
+    assert g.status == "pending" and g.buckets_total == 8
+    assert g.doc_count == 0 and g.n_files == 0
+    assert g.first_commit_at is None
+    # a workdir with ONLY lineage-less jobs still reports
+    other = [r for j, r in rows.items() if j != "job-ghost"][0]
+    assert other.status == "completed"
+    # balance rolls the mixed report up without failing
+    assert client.get_balance()["jobs"] == 2

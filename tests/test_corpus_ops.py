@@ -4288,3 +4288,33 @@ def test_q232_source_scorecard_gates(spark, tmp_path):
     assert by.loc["dupy", "dup_ppm"] == 750000  # 4 copies -> 3 dropped
     assert by.loc["pii", "admitted"] == 0
     assert by.loc["pii", "pii_ppm"] == 1000000
+
+
+def test_q236_boilerplate_rule_hand_computed(spark, tmp_path):
+    """Every arm of the block rule against hand-computed expectations:
+    doc 0 (id%3==0) keeps its article text PLUS the inline link node
+    ('Mehr dazu hier' joined with ' ' — density 14/(len+14) < 1/3);
+    doc 1 keeps the bare article (and the pipeline's German normalize
+    runs on it: 'enthaelt' -> 'enthält'); doc 2's article is SHORTER
+    than MIN_TEXT_LEN=30 so nothing survives (planted nav/short/
+    link-farm/footer blocks must never appear in any output)."""
+    long_a = "Der Vertrag regelt die Lieferung der Waren im Januar."
+    long_b = "Die Rechnung enthaelt alle Positionen des Auftrags."
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, long_a, "de", "web"),
+            (1, long_b, "de", "web"),
+            (2, "Zu kurz.", "de", "web"),
+        ],
+    )
+    name = "q236_boilerplate_rule_audit"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    got = dict(zip(sdf.doc_id, sdf.main_text))
+    assert got["0"] == long_a + " Mehr dazu hier"
+    assert got["1"] == "Die Rechnung enthält alle Positionen des Auftrags."
+    assert got["2"] == ""
+    for leak in ("Kurz.", "Relevante", "Katalog", "Start", "Impressum",
+                 "AGB", "Fußzeile"):
+        assert not any(leak in t for t in got.values()), leak

@@ -149,16 +149,23 @@ def test_pinned_shuffle_counts(spark):
 
 
 def test_global_topk_is_heap_not_sort(spark):
-    # q166's global top-30 must compile to TakeOrderedAndProject (a
-    # per-partition heap + driver merge), never a full Sort of the
-    # token-frequency relation.
-    plan = (
-        QUERIES["q166_zipf_audit"](spark, SF_DIR)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "TakeOrderedAndProject" in plan
+    # q166's global top-30 and q116's top-max(K) vocab head must
+    # compile to TakeOrderedAndProject (a per-partition heap + driver
+    # merge), never a full Sort of the token-frequency relation.
+    # q116 additionally must carry ZERO Window nodes (round-5
+    # restatement: rank + cumsum over the <=31 surviving rows are a
+    # triangular broadcast self-join, not a window).
+    for name in ("q166_zipf_audit", "q116_vocab_coverage"):
+        plan = (
+            QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan, name
+    import re
+
+    assert not re.search(r"\bWindow \[", plan)  # q116: window-free
 
 
 # ---------------------------------------------------------------------
@@ -171,7 +178,7 @@ def test_global_topk_is_heap_not_sort(spark):
 # a cluster. Counts from tools/plan_audit.py:count_global_windows.
 GLOBAL_WINDOWS = {
     "q69_shard_assignment": 1,    # share denominator over the SHARD_N(=16)-row agg
-    "q116_vocab_coverage": 1,     # rank+cumsum over the vocab relation (≤ millions of types by construction)
+    # q116 restated round 5: TakeOrdered heap + triangular self-join — 0 windows
     "q122_bm25_search": 1,        # rank column over the already-limited BM25_TOP_K rows
     "q129_lm_train_bigrams": 2,   # perplexity totals over the few-thousand-row bigram-head relation
     "q130_dsir_selection": 1,     # global totals over the bucket/source relation (q129's tiny-relation pattern)
@@ -181,7 +188,7 @@ GLOBAL_WINDOWS = {
     "q152_event_acf": 2,          # row_number + totals over the generated hourly grid (~10^5 rows/decade)
     "q166_zipf_audit": 1,         # rank over the TakeOrdered top-30 rows
     "q171_ks_drift": 1,           # global CDF over the (x) histogram grid (bounded value domain)
-    "q178_host_waterfill": 1,     # staircase over the hosts relation (domain-sized, never the corpus)
+    # q178 restated round 5: banded histogram staircase + prefix-banded tie pick — 0 global windows
     "q183_wilson_source_rank": 1, # ranking over the sources-sized relation
     "q186_histogram_quantiles": 2,# cumulative cuts + quantile probe over the merged histogram
     "q207_rbo_rankings": 2,       # two rankings over the candidate relation

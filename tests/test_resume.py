@@ -293,3 +293,39 @@ def test_staged_multi_group_run_matches_persist_path(spark, docs, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "bucket_id" in plan
+
+
+def test_local_posix_path_resolves_via_hadoop_fs(spark, tmp_path):
+    """The manifest-write classifier must decide local-vs-cluster from
+    the RESOLVED Hadoop filesystem, not from string-parsing: a
+    scheme-less path follows fs.defaultFS (file:/// in tests, hdfs://
+    on a real cluster), and any path that does not land on the local
+    FS must return None so the Spark write — which always resolves
+    correctly — is used (round-4 ADVICE finding)."""
+    p = str(tmp_path / "t" / "_lineage")
+    assert lin._local_posix_path(spark, p) == p  # defaultFS is file:///
+    assert lin._local_posix_path(spark, "file:" + p) == p
+    # an explicitly non-local scheme never takes the posix fast path
+    assert lin._local_posix_path(spark, "hdfs://nn:8020/t/_lineage") is None
+    # unresolvable scheme (no s3a jar in sandbox) degrades to None,
+    # never raises — the Spark path is correct for it too
+    assert lin._local_posix_path(spark, "s3a://bucket/t/_lineage") is None
+
+
+def test_staged_run_with_empty_corpus(spark, tmp_path):
+    """An empty corpus under an explicit multi-group bucket_group_size
+    takes the stage_dir branch with a ZERO-row staged write; reading
+    the stage back must use the known schema instead of footer
+    inference (which has nothing to infer from) so the run completes
+    exactly like the persist() path does on the same input (round-4
+    ADVICE finding)."""
+    out = str(tmp_path / "out")
+    stage = str(tmp_path / "stage")
+    empty = docs_to_spark(spark, [])
+    res = pipeline.run(
+        spark, empty, out, n_buckets=4, bucket_group_size=2,
+        stage_dir=stage,
+    )
+    assert res.buckets_processed == 4
+    assert pipeline.read_output(spark, out).count() == 0
+    assert pipeline.status(spark, out).status == "completed"
