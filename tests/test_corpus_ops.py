@@ -4318,3 +4318,71 @@ def test_q236_boilerplate_rule_hand_computed(spark, tmp_path):
     for leak in ("Kurz.", "Relevante", "Katalog", "Start", "Impressum",
                  "AGB", "Fußzeile"):
         assert not any(leak in t for t in got.values()), leak
+
+
+def test_q178_waterfill_istar_zero_tie_banding(spark, tmp_path):
+    """The istar=0 arm with a MAXIMAL tie group: 20 hosts x 5 docs,
+    budget 50. S(5) = 5*20 = 100 > 50 so no staircase step fits:
+    c = 50//20 = 2, leftover = 10, every host capped — the 10 bumps
+    go to the lexicographically first hosts of the all-equal tie
+    group, crossing the 2-char prefix-band boundary (h00..h09 in
+    band 'h0', h10..h19 in 'h1'), which exercises the banded tie
+    rank's cross-band offsets. sum(alloc) = B exactly."""
+    rows, i = [], 0
+    for s in range(20):
+        for _ in range(5):
+            rows.append((i, f"text {i} der", "de", f"h{s:02d}"))
+            i += 1
+    d = _write_docs(tmp_path, rows)
+    name = "q178_host_waterfill"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    got = {r.host: r for r in sdf.itertuples()}
+    assert all(r.cap == 2 and r.capped for r in sdf.itertuples())
+    for s in range(20):
+        assert got[f"h{s:02d}.de"].alloc == (3 if s < 10 else 2)
+    assert int(sdf.alloc.sum()) == 50
+
+
+def test_q178_waterfill_minimal_budget(spark, tmp_path):
+    """Degenerate minimum: counts (1, 1), total 2, B = 1.
+    S(1) = 1*2 = 2 > 1 so no staircase step fits (istar=0, c=0,
+    leftover=1) and the single budget unit goes to the
+    lexicographically first host of the all-capped tie group. (The
+    istar=m uncapped arm is unreachable under B = total//2 — it is
+    defensive for future budget rules — so the reachable arms are
+    istar=0, pinned here and by the banding test above, and
+    0 < istar < m, pinned by the original hand-computed tests.)"""
+    d = _write_docs(
+        tmp_path,
+        [(0, "text null der", "de", "aaa"), (1, "text eins der", "de", "bbb")],
+    )
+    name = "q178_host_waterfill"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    got = {r.host: r for r in sdf.itertuples()}
+    assert got["aaa.de"].alloc == 1 and got["bbb.de"].alloc == 0
+    assert int(sdf.alloc.sum()) == 1
+
+
+def test_q116_vocab_smaller_than_kmax(spark, tmp_path):
+    """A corpus with fewer distinct types (3) than max(K)=31: the heap
+    returns the whole vocabulary and every K >= vocab size reports
+    n_types = 3 with coverage 1.0 — the rnk <= k join must not drop
+    or duplicate rows when the ladder overshoots the relation."""
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, "alpha beta alpha", "de", "web"),
+            (1, "beta gamma beta beta", "de", "web"),
+        ],
+    )
+    name = "q116_vocab_coverage"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    got = {int(r.k): r for r in sdf.itertuples()}
+    # counts: beta=4, alpha=2, gamma=1 (7 tokens total)
+    assert got[1].n_types == 1 and abs(got[1].coverage - 0.571428) < 1e-9
+    assert got[2].n_types == 2 and abs(got[2].coverage - 0.857142) < 1e-9
+    for k in (4, 8, 16, 31):
+        assert got[k].n_types == 3 and got[k].coverage == 1.0
