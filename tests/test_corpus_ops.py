@@ -4386,3 +4386,27 @@ def test_q116_vocab_smaller_than_kmax(spark, tmp_path):
     assert got[2].n_types == 2 and abs(got[2].coverage - 0.857142) < 1e-9
     for k in (4, 8, 16, 31):
         assert got[k].n_types == 3 and got[k].coverage == 1.0
+
+
+def test_q237_layout_rule_hand_computed(spark, tmp_path):
+    """XY-cut ground truth on the planted two-column page: the wire is
+    scrambled (R2, footer, L1, header, R1, L2) so only geometry can
+    order the blocks; correct output is header, left column, right
+    column, footer — with the 'Liefer-'/'ung' joint de-hyphenated to
+    'Lieferung' by the normalize pass. The naive (y, x) sort would
+    emit 'Liefer- R1TEXT ung am Montag R2TEXT' instead; its absence
+    is asserted explicitly."""
+    t = "Erste Spalte rechts oben steht hier fest"  # 40 chars exactly
+    u = "und die zweite Haelfte folgt darunter ab"  # next 40
+    d = _write_docs(tmp_path, [(0, t + u, "de", "web")])
+    name = "q237_layout_rule_audit"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    got = sdf.main_text[0]
+    assert got == (
+        "Seite 1 Lieferung am Montag "
+        "Erste Spalte rechts oben steht hier fest "
+        "und die zweite Hälfte folgt darunter ab Fußzeile"
+    )
+    # the interleaved naive-sort order must NOT appear
+    assert "Liefer- Erste" not in got and "Montag und die" not in got
