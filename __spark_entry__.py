@@ -27,19 +27,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _last_driver_checked() -> dict[str, int]:
-    """Map query name → the most recent round whose CORRECTNESS_r*.json
-    recorded a fully-GREEN driver hash check for it (rows + schema +
-    hash all true; absent = never green-checked).
-
-    Read from the driver's own artifacts in this directory, so the
-    ordering below is data-driven rather than a hand-tuned pivot.
-    Only green checks count (round-4 ADVICE): a query whose most
-    recent driver check FAILED must re-enter the sampled region
-    immediately — treating a failed check as 'checked' rotated
-    round-1's q30/q32/q38 failures to the back of the order and left
-    their fixes driver-unverified for three rounds."""
+    """Map query name → gate priority derived from the driver's own
+    CORRECTNESS_r*.json artifacts (data-driven, never a hand-tuned
+    pivot): the most recent fully-GREEN round (rows + schema + hash
+    all true), 0 for never-checked, and **-1 when the LATEST check
+    failed** — a red most-recent result must re-enter the sampled
+    region ahead of everything (round-4 ADVICE): treating a failed
+    check as 'checked' rotated round-1's q30/q32/q38 failures to the
+    back of the order for three rounds, and crediting a stale green
+    would bury a green-then-red regression behind the never-checked
+    backlog just the same."""
     here = os.path.dirname(os.path.abspath(__file__))
-    last: dict[str, int] = {}
+    last_green: dict[str, int] = {}
+    latest: dict[str, tuple[int, bool]] = {}  # name -> (round, green)
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -58,8 +58,13 @@ def _last_driver_checked() -> dict[str, int]:
                 for k in ("rows_match", "schema_match", "hash_match")
             )
             if green:
-                last[name] = max(last.get(name, 0), rnd)
-    return last
+                last_green[name] = max(last_green.get(name, 0), rnd)
+            if rnd >= latest.get(name, (0, True))[0]:
+                latest[name] = (rnd, green)
+    return {
+        name: (-1 if not latest[name][1] else last_green.get(name, 0))
+        for name in latest
+    }
 
 
 def _gate_order(name: str, last: dict[str, int]) -> tuple[int, int]:

@@ -442,30 +442,36 @@ class GermanOCRSpark:
         parts = []
         # A job submitted but not yet through its first lineage append
         # (or one that crashed before record_bucketing) has no _lineage
-        # dir; read_lineage raises for it. That job is simply
-        # 'pending' — it must not fail the whole workdir-wide report
-        # (round-4 ADVICE finding; pipeline.status() degrades the same
-        # way).
-        pending_rows: list[tuple] = []
+        # dir (read_lineage raises) — or, after a crash between
+        # makedirs and the atomic rename, an EMPTY one (read_lineage
+        # returns zero rows, so the groupBy below emits no row for
+        # it). BOTH states are simply 'pending' and must not fail or
+        # silently drop out of the workdir-wide report (round-4
+        # ADVICE finding; pipeline.status() degrades the same way).
+        # The uniform fix: every job missing from the aggregate —
+        # whatever the reason — gets a pending row via the anti-join
+        # at the end.
         for job_id, n_buckets in jobs:
             try:
                 ldf = lin.read_lineage(
                     self._spark, os.path.join(self._workdir, job_id)
                 )
             except Exception:
-                pending_rows.append(
-                    (job_id, "pending", 0, n_buckets, 0, 0, 0, 0, None, None)
-                )
                 continue
             parts.append(
                 ldf.withColumn("job_id", F.lit(job_id)).withColumn(
                     "buckets_total", F.lit(n_buckets)
                 )
             )
+        pending_defaults = self._spark.createDataFrame(
+            [
+                (job_id, "pending", 0, n_buckets, 0, 0, 0, 0, None, None)
+                for job_id, n_buckets in jobs
+            ],
+            ddl,
+        )
         if not parts:
-            return self._spark.createDataFrame(pending_rows, ddl).orderBy(
-                "job_id"
-            )
+            return pending_defaults.orderBy("job_id")
         allj = parts[0]
         for p in parts[1:]:
             allj = allj.unionByName(p)
@@ -525,11 +531,10 @@ class GermanOCRSpark:
             "first_commit_at",
             "last_commit_at",
         )
-        if pending_rows:
-            usage = usage.unionByName(
-                self._spark.createDataFrame(pending_rows, ddl)
-            )
-        return usage.orderBy("job_id")
+        missing = pending_defaults.join(
+            usage.select("job_id"), "job_id", "left_anti"
+        )
+        return usage.unionByName(missing).orderBy("job_id")
 
     def get_balance(self) -> dict:
         """Account balance — the reference's ``get_balance``

@@ -305,14 +305,23 @@ def test_get_usage_tolerates_job_without_lineage(client, spark):
     os.makedirs(ghost, exist_ok=True)
     with open(os.path.join(ghost, "_job.json"), "w") as fh:
         json.dump({"job_id": "job-ghost", "n_buckets": 8}, fh)
+    # ...and a job whose _lineage dir EXISTS but is empty (a crash
+    # between makedirs and the first atomic rename) must also appear
+    # as pending instead of silently vanishing from the report
+    husk = os.path.join(client._workdir, "job-husk")
+    os.makedirs(os.path.join(husk, "_lineage"), exist_ok=True)
+    with open(os.path.join(husk, "_job.json"), "w") as fh:
+        json.dump({"job_id": "job-husk", "n_buckets": 4}, fh)
     rows = {r.job_id: r for r in client.get_usage().collect()}
-    assert len(rows) == 2
+    assert len(rows) == 3
     g = rows["job-ghost"]
     assert g.status == "pending" and g.buckets_total == 8
     assert g.doc_count == 0 and g.n_files == 0
     assert g.first_commit_at is None
-    # a workdir with ONLY lineage-less jobs still reports
-    other = [r for j, r in rows.items() if j != "job-ghost"][0]
+    h = rows["job-husk"]
+    assert h.status == "pending" and h.buckets_total == 4
+    # the completed job still reports normally alongside the husks
+    other = [r for j, r in rows.items() if j not in ("job-ghost", "job-husk")][0]
     assert other.status == "completed"
     # balance rolls the mixed report up without failing
-    assert client.get_balance()["jobs"] == 2
+    assert client.get_balance()["jobs"] == 3

@@ -4410,3 +4410,18 @@ def test_q237_layout_rule_hand_computed(spark, tmp_path):
     )
     # the interleaved naive-sort order must NOT appear
     assert "Liefer- Erste" not in got and "Montag und die" not in got
+
+
+def test_q236_q237_separator_injection(spark, tmp_path):
+    """Corpus text containing the wire's record/field separators
+    (\\x1e/\\x1f — plausible in raw OCR output) must not corrupt the
+    planted node/block tables: both engines strip them identically
+    before planting, so the audits still hash-match instead of
+    reporting a phantom kernel bug."""
+    t = "Ver\x1etrag regelt die Lie\x1fferung der Waren im Januar heute"
+    d = _write_docs(tmp_path, [(0, t, "de", "web")])
+    for name in ("q236_boilerplate_rule_audit", "q237_layout_rule_audit"):
+        sdf = QUERIES[name](spark, d).toPandas()
+        assert compare(sdf, _oracle(d, name)) is None, name
+        # the separators themselves never reach the output
+        assert not sdf.main_text.str.contains("\x1e|\x1f").any(), name
