@@ -4425,3 +4425,35 @@ def test_q236_q237_separator_injection(spark, tmp_path):
         assert compare(sdf, _oracle(d, name)) is None, name
         # the separators themselves never reach the output
         assert not sdf.main_text.str.contains("\x1e|\x1f").any(), name
+
+
+def test_q238_media_decode_hand_computed(spark, tmp_path):
+    """The three decode kernels against hand-computed expectations on
+    the smallest doc ids: doc 0 is a 3x2 FIMG whose six pixels are
+    (31j mod 256) = 0,31,..,155 (mean 77.5, n_bytes 12+6); doc 1 a
+    9000 Hz FAUD with 51 samples (duration 51000//9000 = 5 ms),
+    RMS re-derived in plain Python; doc 2 a 3-frame
+    4x4 FVID sampled at every_k=2 (frames 0 and 2 only), per-frame
+    means re-derived from the global pixel index arithmetic."""
+    d = _write_docs(
+        tmp_path,
+        [(0, "Bild", "de", "web"), (1, "Ton", "de", "web"),
+         (2, "Film", "de", "web")],
+    )
+    name = "q238_media_decode_audit"
+    sdf = QUERIES[name](spark, d).toPandas()
+    assert compare(sdf, _oracle(d, name)) is None
+    img = sdf[sdf.media_type == "image"].iloc[0]
+    assert (img.width, img.height, img.n_bytes) == (3, 2, 18)
+    assert img.mean_px == sum(31 * j % 256 for j in range(6)) / 6.0
+    aud = sdf[sdf.media_type == "audio"].iloc[0]
+    assert (aud.sample_rate, aud.duration_ms) == (9000, 5)
+    exp_ss = sum((((j * 97 + 13) % 65536) - 32768) ** 2 for j in range(51))
+    assert aud.rms == float(np.sqrt(exp_ss / 51))
+    vid = sdf[sdf.media_type == "video"].sort_values("frame_idx")
+    assert list(vid.frame_idx) == [0, 2]  # every_k=2 over nf=3 frames
+    assert set(zip(vid.width, vid.height)) == {(4, 4)}
+    assert list(vid.mean_px) == [
+        sum((31 * i + 34) % 256 for i in range(16)) / 16.0,
+        sum((31 * i + 34) % 256 for i in range(32, 48)) / 16.0,
+    ]
