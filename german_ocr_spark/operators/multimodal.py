@@ -49,22 +49,44 @@ _REAL_MAGICS = {
 }
 
 
-def encode_fake_image(width: int, height: int, seed: int) -> bytes:
-    rng = np.random.default_rng(seed)
-    px = rng.integers(0, 256, size=width * height, dtype=np.uint8)
-    return MAGIC_IMG + struct.pack("<II", width, height) + px.tobytes()
+def encode_fake_image(
+    width: int, height: int, seed: int = 0, pixels: np.ndarray | None = None
+) -> bytes:
+    """``pixels`` (uint8, length width*height) plants an explicit
+    payload — the single header-layout definition for callers that
+    need arithmetically-known content (q238's oracle); the seed path
+    plants RNG content for fixtures that only need determinism."""
+    if pixels is None:
+        rng = np.random.default_rng(seed)
+        pixels = rng.integers(0, 256, size=width * height, dtype=np.uint8)
+    return MAGIC_IMG + struct.pack("<II", width, height) + pixels.tobytes()
 
 
-def encode_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
-    rng = np.random.default_rng(seed)
-    s = rng.integers(-(2**15), 2**15, size=n_samples, dtype=np.int16)
-    return MAGIC_AUD + struct.pack("<II", sample_rate, n_samples) + s.tobytes()
+def encode_fake_audio(
+    sample_rate: int,
+    n_samples: int,
+    seed: int = 0,
+    samples: np.ndarray | None = None,
+) -> bytes:
+    if samples is None:
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-(2**15), 2**15, size=n_samples, dtype=np.int16)
+    return (
+        MAGIC_AUD + struct.pack("<II", sample_rate, n_samples) + samples.tobytes()
+    )
 
 
-def encode_fake_video(n_frames: int, w: int, h: int, seed: int) -> bytes:
-    rng = np.random.default_rng(seed)
-    px = rng.integers(0, 256, size=n_frames * w * h, dtype=np.uint8)
-    return MAGIC_VID + struct.pack("<III", n_frames, w, h) + px.tobytes()
+def encode_fake_video(
+    n_frames: int,
+    w: int,
+    h: int,
+    seed: int = 0,
+    pixels: np.ndarray | None = None,
+) -> bytes:
+    if pixels is None:
+        rng = np.random.default_rng(seed)
+        pixels = rng.integers(0, 256, size=n_frames * w * h, dtype=np.uint8)
+    return MAGIC_VID + struct.pack("<III", n_frames, w, h) + pixels.tobytes()
 
 
 def _reject_real_format(buf: bytes) -> None:
