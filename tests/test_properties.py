@@ -245,3 +245,67 @@ def test_sessionizer_single_batch_equals_split_free_run(epochs, gap):
     emitted sessions must match the reference regardless."""
     got = _drive_sessionizer([list(epochs)], gap, wm_delay_s=None)
     assert got == sorted(_sessions_reference(epochs, gap))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=10**12))
+def test_q238_plant_decode_arithmetic_symmetry(k):
+    """The q238 contract as a pure-kernel property over ARBITRARY doc
+    ids (the hand-computed fixture pins k=0,1,2; the validator pins
+    the corpus id range): planting the arithmetically-defined payload
+    and decoding it through the real kernels must reproduce exactly
+    the quantities q238's DuckDB oracle computes from the arithmetic
+    — same single-division IEEE forms, so equality is exact, not
+    approximate."""
+    import numpy as np
+    import pandas as pd
+
+    from german_ocr_spark.operators.multimodal import (
+        _audio_kernel,
+        _frame_kernel,
+        _image_meta_kernel,
+        encode_fake_audio,
+        encode_fake_image,
+        encode_fake_video,
+    )
+
+    def one(kernel, buf):
+        pdf = pd.DataFrame(
+            {"doc_id": [str(k)], "media_ref": ["m"], "content": [buf]}
+        )
+        out = pd.concat(list(kernel(iter([pdf]))), ignore_index=True)
+        assert out["error"].isna().all(), out["error"].tolist()
+        return out
+
+    if k % 3 == 0:
+        w, h = 3 + k % 13, 2 + k % 7
+        px = ((np.arange(w * h, dtype=np.int64) * 31 + 17 * k) % 256).astype(
+            np.uint8
+        )
+        row = one(_image_meta_kernel, encode_fake_image(w, h, pixels=px)).iloc[0]
+        assert (row.width, row.height, row.n_bytes) == (w, h, 12 + w * h)
+        # oracle form: CAST(SUM(...) AS DOUBLE) / CAST(w*h AS DOUBLE)
+        assert row.mean_px == float(int(px.sum(dtype=np.int64))) / float(w * h)
+    elif k % 3 == 1:
+        rate, n = 8000 + 1000 * (k % 5), 50 + k % 100
+        s = (
+            (np.arange(n, dtype=np.int64) * 97 + 13 * k) % 65536 - 32768
+        ).astype(np.int16)
+        row = one(_audio_kernel, encode_fake_audio(rate, n, samples=s)).iloc[0]
+        assert (row.sample_rate, row.duration_ms) == (rate, (n * 1000) // rate)
+        ss = int((s.astype(np.int64) ** 2).sum())
+        assert row.rms == float(np.sqrt(float(ss) / float(n)))
+    else:
+        nf, w, h = 1 + k % 6, 2 + k % 5, 2 + k % 3
+        px = (
+            (np.arange(nf * w * h, dtype=np.int64) * 31 + 17 * k) % 256
+        ).astype(np.uint8)
+        out = one(_frame_kernel(2), encode_fake_video(nf, w, h, pixels=px))
+        assert list(out["frame_idx"]) == list(range(0, nf, 2))
+        for _, row in out.iterrows():
+            f = int(row.frame_idx)
+            seg = px[f * w * h : (f + 1) * w * h]
+            assert (row.width, row.height) == (w, h)
+            assert row.mean_px == float(int(seg.sum(dtype=np.int64))) / float(
+                w * h
+            )
